@@ -1,0 +1,19 @@
+"""FastECC-TPU: a TPU-native O(N log N) Reed-Solomon erasure-coding framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the reference
+C++/SIMD/OpenMP project ``Bulat-Ziganshin/FastECC`` (see SURVEY.md for the
+layer map and component inventory; the reference mount was empty at build
+time, so SURVEY.md Appendix A/B pin the canonical constants and codec spec).
+
+Public API:
+  fields.GF32 / fields.GF16      — the two supported prime fields
+  ntt.ntt / ntt.intt             — single-chip Stockham NTT (axis 0)
+  rs.encode / rs.decode          — Reed-Solomon erasure codec over 4KB blocks
+  parallel.mesh / parallel.ntt_dist — multi-chip sharded four-step NTT
+"""
+
+from fastecc_tpu.fields import FIELDS, GF16, GF32, FieldSpec
+
+__all__ = ["FIELDS", "GF16", "GF32", "FieldSpec"]
+
+__version__ = "0.1.0"

@@ -1,0 +1,184 @@
+"""Portable GF(p) arithmetic in pure jax.numpy (uint32 lanes).
+
+TPU-native replacement for the reference's scalar/SIMD GF(p) layer
+(``GF(p).cpp``: C1 add/sub, C2/C3 mulmod, C4 pow/inv in SURVEY.md §2).
+The reference computes ``a*b mod p`` with a 64-bit product; TPU has no
+64-bit integer multiply, so multiplication is Montgomery REDC with R = 2^32
+built from 16x16->32-bit partial products (SURVEY.md Appendix A, verified).
+
+Conventions:
+  * Field elements live in **normal domain** uint32 arrays, values < p
+    (for GF16, values <= 0x10000 stored in uint32).
+  * Hot-path multiplications use *Montgomery-scaled constants*: for a
+    constant c, precompute c~ = c * R mod p; then ``mont_mul(x, c~) =
+    x * c mod p`` directly in normal domain — one REDC per multiply and no
+    domain conversions of the data. NTT twiddles are stored pre-scaled.
+  * ``mul`` (two arbitrary normal-domain operands) costs two REDCs for GF32.
+
+Everything here is shape-polymorphic and jit/pallas-friendly: uint32 in,
+uint32 out, no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .fields import FieldSpec, GF16
+
+_U32 = jnp.uint32
+_MASK16 = jnp.uint32(0xFFFF)
+
+
+def _u32(x) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# add / sub (C1): branch-free via compare-select, same trick as the
+# reference's SSE2 compare-mask add/sub but expressed as jnp.where.
+# ---------------------------------------------------------------------------
+
+def add(field: FieldSpec, a, b):
+    """(a + b) mod p, elementwise. a, b uint32 < p (<= p for GF16's 0x10000)."""
+    p = _U32(field.p)
+    s = a + b  # < 2p <= 2^33 - ...; wraps iff p > 2^31 (GF32). Handle wrap:
+    if field.p > (1 << 31):
+        # s wrapped iff s < a (unsigned). True sum >= p iff wrapped or s >= p.
+        ge = (s < a) | (s >= p)
+    else:
+        ge = s >= p
+    return jnp.where(ge, s - p, s)
+
+
+def sub(field: FieldSpec, a, b):
+    """(a - b) mod p, elementwise."""
+    p = _U32(field.p)
+    d = a - b  # wraps when a < b
+    return jnp.where(a >= b, d, d + p)
+
+
+def neg(field: FieldSpec, a):
+    p = _U32(field.p)
+    return jnp.where(a == 0, a, p - a)
+
+
+# ---------------------------------------------------------------------------
+# 64-bit product from 16-bit limbs (no u64 anywhere).
+# ---------------------------------------------------------------------------
+
+def _mul_wide(a, b):
+    """Full 64-bit product of two uint32 arrays as (hi, lo) uint32 pair.
+
+    Four 16x16->32 partial products; every intermediate fits in uint32
+    (bounds in SURVEY.md Appendix A / gf tests).
+    """
+    al = a & _MASK16
+    ah = a >> _U32(16)
+    bl = b & _MASK16
+    bh = b >> _U32(16)
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    hh = ah * bh
+    # carry column: (ll >> 16) + low16(lh) + low16(hl) < 2^18
+    t = (ll >> _U32(16)) + (lh & _MASK16) + (hl & _MASK16)
+    lo = (t << _U32(16)) | (ll & _MASK16)
+    hi = hh + (lh >> _U32(16)) + (hl >> _U32(16)) + (t >> _U32(16))
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# Montgomery multiplication (GF32 path; C2/C3).
+# ---------------------------------------------------------------------------
+
+def mont_mul(field: FieldSpec, a, b):
+    """REDC(a * b) = a * b * R^-1 mod p, R = 2^32. Requires a, b < p.
+
+    If b is a Montgomery-scaled constant (b = c * R mod p), the result is
+    a * c mod p in normal domain — the hot-path butterfly form.
+    """
+    assert field.use_mont
+    p = _U32(field.p)
+    np_ = _U32(field.n_prime)
+    hi, lo = _mul_wide(a, b)
+    m = lo * np_  # native low-32 multiply
+    mp_hi, mp_lo = _mul_wide(m, p)
+    # t + m*p has zero low word; carry out of the low word is 1 iff lo != 0
+    # (mp_lo == 2^32 - lo when lo > 0, else 0).
+    carry = (lo != 0).astype(jnp.uint32)
+    s = hi + mp_hi
+    ov = (s < hi)
+    s2 = s + carry
+    ov = ov | (s2 < s)
+    # true u = hi + mp_hi + carry < 2p; subtract p iff u >= p (incl. wrap).
+    return jnp.where(ov | (s2 >= p), s2 - p, s2)
+
+
+def to_mont(field: FieldSpec, a):
+    """a -> a * R mod p (enter Montgomery domain)."""
+    return mont_mul(field, a, _U32(field.r2_mod_p))
+
+
+def from_mont(field: FieldSpec, a):
+    """a * R mod p -> a (leave Montgomery domain)."""
+    return mont_mul(field, a, _U32(1))
+
+
+# ---------------------------------------------------------------------------
+# General normal-domain multiply (dispatches per field).
+# ---------------------------------------------------------------------------
+
+def _mul_gf16(a, b):
+    """(a * b) mod 0x10001 with operands in [0, 0x10000], stored uint32.
+
+    Products fit in 32 bits except 0x10000 * 0x10000 = 2^32 (wraps to 0);
+    2^32 mod p = 1, and the wrap indicator restores it. Reduction uses
+    2^16 = -1 (mod p): x = x_hi*2^16 + x_lo = x_lo - x_hi.
+    """
+    p = _U32(GF16.p)
+    t = a * b  # wraps only for 0x10000 * 0x10000
+    ov = ((a == _U32(0x10000)) & (b == _U32(0x10000))).astype(jnp.uint32)
+    lo = t & _MASK16
+    hi = t >> _U32(16)
+    r = jnp.where(lo >= hi, lo - hi, lo - hi + p)  # < p... <= p-1? see tests
+    r = r + ov  # 2^32 contributes +1; r + 1 <= p
+    return jnp.where(r >= p, r - p, r)
+
+
+def mul(field: FieldSpec, a, b):
+    """(a * b) mod p for arbitrary normal-domain uint32 operands < p."""
+    if field.use_mont:
+        return mont_mul(field, mont_mul(field, a, b), _U32(field.r2_mod_p))
+    return _mul_gf16(_u32(a), _u32(b))
+
+
+def mul_const(field: FieldSpec, a, c: int):
+    """a * c mod p where c is a Python-int constant (pre-scaled at trace)."""
+    if field.use_mont:
+        return mont_mul(field, a, _U32(field.to_mont_host(c)))
+    return _mul_gf16(a, _U32(c % field.p))
+
+
+# ---------------------------------------------------------------------------
+# pow / inverse (C4): fixed 32-step square-and-multiply, exponent static.
+# ---------------------------------------------------------------------------
+
+def pow_const(field: FieldSpec, a, e: int):
+    """a ** e mod p with a static Python-int exponent (unrolled at trace)."""
+    e %= (field.p - 1) if e >= 0 else (field.p - 1)
+    result = None
+    base = a
+    while e:
+        if e & 1:
+            result = base if result is None else mul(field, result, base)
+        e >>= 1
+        if e:
+            base = mul(field, base, base)
+    if result is None:
+        return jnp.full_like(a, _U32(1))
+    return result
+
+
+def inv(field: FieldSpec, a):
+    """Elementwise inverse a^(p-2) mod p. inv(0) is undefined (returns 0)."""
+    return pow_const(field, a, field.p - 2)
