@@ -1,0 +1,218 @@
+"""Number-theoretic transforms over GF(p), TPU-first formulation.
+
+Rebuilds the reference's NTT engine (``ntt.cpp``: SURVEY.md §2 C6-C10) with
+TPU-idiomatic algorithms instead of translating the C++:
+
+  * ``ntt``/``intt``: **Stockham autosort DIF**, radix-2 — no bit-reversal
+    gather anywhere (bit-reversal permutes sublanes, which is hostile to the
+    TPU vector unit; Stockham's contiguous slice + interleave reshapes lower
+    to cheap relayouts). Replaces the reference's recursive (C7) and
+    iterative bit-reverse (C8) variants.
+  * ``ntt_four_step``: the Matrix Fourier Algorithm / four-step decomposition
+    (C9) - view a length-N transform as C x R, column NTTs, twiddle by
+    w_N^(k_c * r), row NTTs, transpose. On one chip this is the cache/VMEM
+    blocking template; across chips the middle transpose becomes an
+    ``all_to_all`` (see parallel/ntt_dist.py).
+  * ``naive_dft``: O(N^2) bigint oracle (C6), test-only.
+
+Data layout: the transform always runs along **axis 0**; all trailing axes
+are independent lanes (the 1024 words of a 4KB block, SURVEY.md §1 "key
+data-layout fact"). Twiddles are host-precomputed Python-int powers, stored
+Montgomery-scaled for GF32 so the butterfly costs exactly one REDC
+(gf.mont_mul) with the data staying in normal domain.
+
+Transform convention (pinned; defines bit-exactness per SURVEY.md §0):
+  forward:  X[k] = sum_n x[n] * w^(n*k) mod p,   w = field.root_of_order(N)
+  inverse:  x[n] = N^-1 * sum_k X[k] * w^(-n*k) mod p
+with natural-order input AND output for both directions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import gf
+from .fields import FieldSpec, FIELDS
+
+
+def _log2(n: int) -> int:
+    t = n.bit_length() - 1
+    assert 1 << t == n, f"size must be a power of two, got {n}"
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Twiddle machinery (C5): host-side powers, prepared for the device hot path.
+# ---------------------------------------------------------------------------
+
+def powers_host(field: FieldSpec, base: int, count: int) -> np.ndarray:
+    """[base^0, base^1, ..., base^(count-1)] mod p as numpy uint32."""
+    out = np.empty(count, dtype=np.uint32)
+    acc = 1
+    p = field.p
+    for i in range(count):
+        out[i] = acc
+        acc = (acc * base) % p
+    return out
+
+
+def prepare_consts(field: FieldSpec, vals: np.ndarray) -> np.ndarray:
+    """Prepare constants for the device multiply hot path.
+
+    GF32: scale into the Montgomery domain so ``gf.mont_mul(x, prepared)``
+    yields the normal-domain product. GF16: identity (Fermat reduction
+    needs no scaling).
+    """
+    if field.use_mont:
+        return ((vals.astype(object) << 32) % field.p).astype(np.uint32)
+    return vals.astype(np.uint32)
+
+
+def mul_prepared(field: FieldSpec, x, prepared):
+    """x * c mod p where ``prepared`` came from :func:`prepare_consts`."""
+    if field.use_mont:
+        return gf.mont_mul(field, x, prepared)
+    return gf._mul_gf16(x, prepared)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(field_name: str, a: int, inverse: bool):
+    """Prepared twiddles w_a^n, n in [0, a/2), for a Stockham stage of size a.
+
+    Stage tables depend only on the current sub-transform size ``a`` (all
+    sub-transforms at a stage share them - the DIF invariant), so they are
+    cached per (field, a, direction) and reused across transform sizes.
+    """
+    field = FIELDS[field_name]
+    w = field.root_of_order(a)
+    if inverse:
+        w = field.inv_host(w)
+    return np.asarray(prepare_consts(field, powers_host(field, w, a // 2)))
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_twiddles(field_name: str, n: int, c: int, inverse: bool):
+    """Prepared [C, R] table T[k_c, r] = w_N^(+-k_c * r) for the four-step."""
+    field = FIELDS[field_name]
+    r_dim = n // c
+    w = field.root_of_order(n)
+    if inverse:
+        w = field.inv_host(w)
+    col = powers_host(field, w, c)  # w^{k_c}
+    rows = np.empty((c, r_dim), dtype=np.uint32)
+    for k_c in range(c):
+        rows[k_c] = powers_host(field, int(col[k_c]), r_dim)
+    return np.asarray(prepare_consts(field, rows))
+
+
+# ---------------------------------------------------------------------------
+# Stockham autosort NTT (C8 replacement).
+# ---------------------------------------------------------------------------
+
+def ntt(x, field: FieldSpec, inverse: bool = False, scale: bool = True):
+    """Length-N NTT along axis 0; natural order in and out.
+
+    Stockham DIF: each stage splits every pending sub-transform into
+    even/odd output halves via one butterfly over contiguous slices, then
+    *prepends* the new output bit to the completed-splits axis, so after
+    log2(N) stages the completed axis reads as the natural output index
+    (no bit-reversal pass). ``scale`` controls the final N^-1 multiply of
+    the inverse (disabled when a caller folds it elsewhere).
+    """
+    n = x.shape[0]
+    t = _log2(n)
+    rest = x.shape[1:]
+    if t == 0:
+        return x
+    y = x.reshape((n, 1) + rest)
+    for s in range(t):
+        a = n >> s           # current sub-transform length
+        half = a >> 1
+        tw = jnp.asarray(_stage_twiddles(field.name, a, inverse))
+        tw = tw.reshape((half, 1) + (1,) * len(rest))
+        lo = y[:half]
+        hi = y[half:]
+        even = gf.add(field, lo, hi)
+        odd = mul_prepared(field, gf.sub(field, lo, hi), tw)
+        # prepend the new output bit to the completed axis -> natural order
+        y = jnp.stack([even, odd], axis=1).reshape(
+            (half, 2 * y.shape[1]) + rest)
+    out = y.reshape((n,) + rest)
+    if inverse and scale:
+        out = gf.mul_const(field, out, field.inv_host(n))
+    return out
+
+
+def intt(x, field: FieldSpec, scale: bool = True):
+    """Inverse NTT along axis 0 (w^-1 twiddles + N^-1 scale)."""
+    return ntt(x, field, inverse=True, scale=scale)
+
+
+# Jitted entry points (one XLA compilation per shape instead of per-op
+# eager dispatch; FieldSpec is frozen/hashable so it jits as a static arg).
+ntt_jit = jax.jit(ntt, static_argnames=("field", "inverse", "scale"))
+intt_jit = jax.jit(intt, static_argnames=("field", "scale"))
+
+
+# ---------------------------------------------------------------------------
+# Four-step / MFA decomposition (C9).
+# ---------------------------------------------------------------------------
+
+def ntt_four_step(x, field: FieldSpec, inverse: bool = False,
+                  c_dim: int | None = None, scale: bool = True):
+    """N-point NTT along axis 0 via the four-step C x R decomposition.
+
+    With n = r + R*c and k = k_c + C*k_r:
+        X[k_c + C*k_r] = sum_r w_R^(r*k_r) * w_N^(r*k_c)
+                         * [ sum_c x[r + R*c] * w_C^(c*k_c) ]
+    i.e. (1) C-point NTTs along the slow input axis, (2) twiddle by
+    w_N^(k_c*r), (3) R-point NTTs along the fast axis, (4) transpose.
+    Bit-exact equal to :func:`ntt` (both natural order).
+    """
+    n = x.shape[0]
+    t = _log2(n)
+    if c_dim is None:
+        c_dim = 1 << (t // 2)
+    r_dim = n // c_dim
+    assert c_dim * r_dim == n and c_dim > 1 and r_dim > 1
+    rest = x.shape[1:]
+
+    y = x.reshape((c_dim, r_dim) + rest)          # y[c, r] = x[r + R*c]
+    y = ntt(y, field, inverse=inverse, scale=False)   # axis 0: c -> k_c
+    tw = jnp.asarray(_four_step_twiddles(field.name, n, c_dim, inverse))
+    y = mul_prepared(field, y, tw.reshape((c_dim, r_dim) + (1,) * len(rest)))
+    y = jnp.moveaxis(y, 1, 0)                     # [r, k_c, ...]
+    y = ntt(y, field, inverse=inverse, scale=False)   # axis 0: r -> k_r
+    out = y.reshape((n,) + rest)                  # k = k_c + C*k_r, k_r slow
+    if inverse and scale:
+        out = gf.mul_const(field, out, field.inv_host(n))
+    return out
+
+
+ntt_four_step_jit = jax.jit(
+    ntt_four_step, static_argnames=("field", "inverse", "c_dim", "scale"))
+
+
+# ---------------------------------------------------------------------------
+# Naive O(N^2) DFT oracle (C6) - numpy bigint, test-only.
+# ---------------------------------------------------------------------------
+
+def naive_dft(x: np.ndarray, field: FieldSpec, inverse: bool = False):
+    """Exact bigint DFT along axis 0. Only for small N in tests."""
+    x = np.asarray(x)
+    n = x.shape[0]
+    w = field.root_of_order(n)
+    if inverse:
+        w = field.inv_host(w)
+    mat = np.empty((n, n), dtype=object)
+    for j in range(n):
+        mat[j] = powers_host(field, field.pow_host(w, j), n).astype(object)
+    flat = x.reshape(n, -1).astype(object)
+    out = (mat @ flat) % field.p
+    if inverse:
+        out = (out * field.inv_host(n)) % field.p
+    return out.reshape(x.shape).astype(np.uint32)
