@@ -1,0 +1,120 @@
+"""RS encoder vs. the executable spec (SURVEY.md Appendix B) + golden pins.
+
+Covers [BASELINE] config :7 (2^10+2^10 blocks x 4KB, GF(0xFFF00001),
+CPU-runnable) and config :9 (GF(0x10001) variant) at the field level, plus
+the systematic property, the coset fast path vs. the padded-NTT oracle, and
+a polynomial-evaluation bigint oracle at small sizes.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fastecc_tpu import packing, rs
+from fastecc_tpu.fields import GF16, GF32
+from fastecc_tpu.ntt import naive_dft
+
+RNG = np.random.default_rng(0x5EED)
+
+
+def rand_field(field, shape):
+    return RNG.integers(0, field.p, size=shape, dtype=np.uint64).astype(
+        np.uint32)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("k,n", [(8, 16), (8, 32), (16, 64)])
+def test_encode_vs_bigint_poly_eval(field, k, n):
+    """codeword[j] must equal f(w_n^j) where f interpolates the data."""
+    data = rand_field(field, (k, 2))
+    cw = np.asarray(rs.encode_jit(jnp.asarray(data), field, n))
+    coeffs = naive_dft(data, field, inverse=True).astype(object)
+    w = field.root_of_order(n)
+    for j in range(n):
+        x = field.pow_host(w, j)
+        want = np.zeros(2, dtype=object)
+        xm = 1
+        for m in range(k):
+            want = (want + coeffs[m] * xm) % field.p
+            xm = (xm * x) % field.p
+        np.testing.assert_array_equal(cw[j], want.astype(np.uint32))
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("k,n", [(8, 16), (64, 128), (256, 512), (64, 256)])
+def test_systematic_property(field, k, n):
+    """codeword[(n/k)*i] == data[i] (Appendix B; evens for n=2k)."""
+    data = rand_field(field, (k, 3))
+    cw = np.asarray(rs.encode_jit(jnp.asarray(data), field, n))
+    np.testing.assert_array_equal(cw[rs.data_positions(n, k)], data)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("k,n", [(8, 16), (256, 512), (64, 256)])
+def test_coset_parity_matches_full_encode(field, k, n):
+    data = rand_field(field, (k, 2))
+    cw = np.asarray(rs.encode_jit(jnp.asarray(data), field, n))
+    par = np.asarray(rs.encode_parity_jit(jnp.asarray(data), field, n))
+    np.testing.assert_array_equal(par, cw[rs.parity_positions(n, k)])
+
+
+def test_config7_shape_gf32():
+    """[BASELINE] config :7 at full block count (lanes thinned for CPU)."""
+    k = 1 << 10
+    data = rand_field(GF32, (k, 8))
+    cw = np.asarray(rs.encode_jit(jnp.asarray(data), GF32, 2 * k))
+    np.testing.assert_array_equal(cw[0::2], data)
+    assert cw.shape == (2 * k, 8)
+
+
+def test_config9_shape_gf16():
+    """[BASELINE] config :9: GF(0x10001), 2^14 blocks (lanes thinned)."""
+    k = 1 << 13
+    data = rand_field(GF16, (k, 4))
+    cw = np.asarray(rs.encode_jit(jnp.asarray(data), GF16, 1 << 14))
+    np.testing.assert_array_equal(cw[0::2], data)
+
+
+def test_encode_blocks_wire_format():
+    """Raw 4KB blocks -> parity bytes, with adversarial escape content."""
+    k = 16
+    raw = RNG.integers(0, 256, size=(k, 4096), dtype=np.uint16).astype(np.uint8)
+    raw[0, :] = 0xFF  # all-0xFFFFFFFF words force the escape path
+    parity = np.asarray(rs.encode_blocks_jit(jnp.asarray(raw), GF32))
+    assert parity.shape == (k, packing.parity_bytes(GF32))
+    # parity deserializes to valid field elements
+    pf = np.asarray(packing.deserialize_parity(jnp.asarray(parity), GF32))
+    assert pf.max() < GF32.p
+    # and equals the field-domain parity of the packed data
+    fields = packing.pack_data(jnp.asarray(raw), GF32)
+    want = np.asarray(rs.encode_parity_jit(fields, GF32))
+    np.testing.assert_array_equal(pf, want)
+
+
+# ---------------------------------------------------------------------------
+# Golden pins: canonical byte-exact outputs under the pinned conventions
+# (SURVEY.md §0: with the reference mount empty, Appendix A constants + the
+# Appendix B scheme define bit-exactness; these hashes freeze it).
+# ---------------------------------------------------------------------------
+
+GOLDEN = {
+    "GF32": "edf67c1247ff14ab94dd84ec24f200b7b40c9b65814b764ab29e7bc4494101e2",
+    "GF16": "6a407726e3d6a7ee6501f145b3dcf4be91ecb2871357991b466357ee0f472fae",
+}
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_golden_codeword_hash(field):
+    k, lanes = 64, 4
+    # deterministic data: d[i, l] = (i * 1_000_003 + l * 7919 + 1) mod p
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    l = np.arange(lanes, dtype=np.uint64)[None, :]
+    data = ((i * 1000003 + l * 7919 + 1) % field.p).astype(np.uint32)
+    cw = np.asarray(rs.encode_jit(jnp.asarray(data), field, 2 * k))
+    digest = hashlib.sha256(cw.tobytes()).hexdigest()
+    if GOLDEN[field.name] == "PENDING":
+        pytest.skip(f"golden for {field.name}: {digest}")
+    assert digest == GOLDEN[field.name]
