@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark: RS encode GB/s per chip (BASELINE.json:2).
+
+Measures the reference's product path (`rs` binary, SURVEY.md §3.1) at the
+baseline config: 2^20 source+parity blocks of 4KB over GF(0xFFF00001)
+(k = 2^19 data blocks -> n = 2^20 codeword blocks, 1024 u32 lanes each).
+
+Throughput definition (pinned): total codeword bytes (n * 4096) divided by
+the wall time of one jitted encode step (iNTT_k + coset twiddle + NTT_k,
+the fast path), best of `--iters` post-compilation runs. `vs_baseline`
+compares against the reference's ~1.2 GB/s CPU headline (BASELINE.md).
+
+Prints ONE JSON line. Falls back to smaller k on OOM (reported in the
+JSON so a fallback is never mistaken for the full config).
+"""
+
+import argparse
+import gc
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from fastecc_tpu import rs
+from fastecc_tpu.fields import GF32
+from fastecc_tpu.utils import time_fn
+
+REFERENCE_GBPS = 1.2  # reference CPU headline (BASELINE.md, i7-4770 AVX2+OpenMP)
+
+
+def make_data(k: int, lanes: int):
+    """Random field elements generated on-device (28-bit values < p)."""
+    bits = jax.random.bits(jax.random.key(0), (k, lanes), dtype=jnp.uint32)
+    return bits & jnp.uint32(0x0FFFFFFF)
+
+
+def run(lg_k: int, lanes: int, iters: int, lane_chunks: int):
+    k, n = 1 << lg_k, 1 << (lg_k + 1)
+    data = jax.block_until_ready(make_data(k, lanes))
+    fn = jax.jit(lambda x: rs.encode_parity(x, GF32, n,
+                                            lane_chunks=lane_chunks))
+    secs = time_fn(fn, data, iters=iters)
+    total_bytes = n * lanes * 4
+    return secs, total_bytes, k, n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lg-k", type=int, default=19,
+                    help="log2 of data block count (n = 2*k blocks total)")
+    ap.add_argument("--lanes", type=int, default=1024,
+                    help="u32 word lanes per block (1024 = 4KB blocks)")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--lane-chunks", type=int, default=0,
+                    help="sequential lane chunks (0 = auto: bound the "
+                         "per-chunk working set near 512MB)")
+    args = ap.parse_args()
+
+    lg_k = args.lg_k
+    fallback = False
+    while True:
+        chunks = args.lane_chunks
+        if chunks == 0:
+            # target <= 2^27 words (~512MB) per chunk working array
+            chunks = max(1, ((1 << lg_k) * args.lanes) >> 27)
+        try:
+            secs, total_bytes, k, n = run(lg_k, args.lanes, args.iters,
+                                          chunks)
+            break
+        except Exception as e:  # noqa: BLE001 - OOM fallback, reported
+            if lg_k <= 12:
+                raise
+            print(f"# lg_k={lg_k} failed ({type(e).__name__}); retrying "
+                  f"smaller", file=sys.stderr)
+            lg_k -= 1
+            fallback = True
+            # Drop the traceback's frame references so the failed attempt's
+            # device buffers are actually freed before the retry.
+            e.__traceback__ = None
+            del e
+            gc.collect()
+            jax.clear_caches()
+
+    gbps = total_bytes / secs / 1e9
+    print(json.dumps({
+        "metric": "rs_encode_throughput",
+        "value": round(gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / REFERENCE_GBPS, 2),
+        "config": {"k": k, "n": n, "lanes": args.lanes,
+                   "block_bytes": args.lanes * 4, "field": "GF32",
+                   "seconds": round(secs, 4), "fallback": fallback,
+                   "lane_chunks": chunks,
+                   "device": str(jax.devices()[0]).strip()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,15 +81,28 @@ def encode(data, field: FieldSpec, n: int | None = None):
     return ntt(padded, field)
 
 
-def encode_parity(data, field: FieldSpec, n: int | None = None):
+def encode_parity(data, field: FieldSpec, n: int | None = None,
+                  lane_chunks: int = 1):
     """Parity rows only, [n-k, L], via per-coset k-point NTTs (fast path).
 
     Row order matches ``encode(...)[parity_positions(n, k)]``: row
     (i*(c-1) + (r-1)) is codeword position i*c + r.
+
+    ``lane_chunks > 1`` processes the (independent) lane axis in that many
+    sequential chunks via ``lax.map``, bounding peak HBM at roughly
+    input + output + one chunk's working set — needed for the full
+    2^20-block config on a 16GB chip. Bit-identical to lane_chunks=1.
     """
     k = data.shape[0]
     n = 2 * k if n is None else n
     _check_kn(k, n)
+    if lane_chunks > 1:
+        assert data.ndim == 2 and data.shape[1] % lane_chunks == 0
+        lc = data.shape[1] // lane_chunks
+        xs = jnp.moveaxis(data.reshape(k, lane_chunks, lc), 1, 0)
+        ys = jax.lax.map(
+            lambda ch: encode_parity(ch, field, n), xs)
+        return jnp.moveaxis(ys, 0, 1).reshape(n - k, data.shape[1])
     c = n // k
     rest = data.shape[1:]
     coeffs = intt(data, field)
@@ -103,7 +116,8 @@ def encode_parity(data, field: FieldSpec, n: int | None = None):
 
 
 encode_jit = jax.jit(encode, static_argnames=("field", "n"))
-encode_parity_jit = jax.jit(encode_parity, static_argnames=("field", "n"))
+encode_parity_jit = jax.jit(
+    encode_parity, static_argnames=("field", "n", "lane_chunks"))
 
 
 # ---------------------------------------------------------------------------

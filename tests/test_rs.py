@@ -118,3 +118,12 @@ def test_golden_codeword_hash(field):
     if GOLDEN[field.name] == "PENDING":
         pytest.skip(f"golden for {field.name}: {digest}")
     assert digest == GOLDEN[field.name]
+
+
+def test_lane_chunks_bit_identical():
+    """Sequential lane chunking must not change a single bit."""
+    data = rand_field(GF32, (64, 16))
+    full = np.asarray(rs.encode_parity_jit(jnp.asarray(data), GF32))
+    chunked = np.asarray(
+        rs.encode_parity_jit(jnp.asarray(data), GF32, lane_chunks=4))
+    np.testing.assert_array_equal(chunked, full)
