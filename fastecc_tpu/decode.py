@@ -1,0 +1,214 @@
+"""Reed-Solomon erasure decoding in O(n log n) (SURVEY.md C12).
+
+The reference v0.1 *documents* decoding but does not implement it
+(SURVEY.md §2 C12 [MEMORY]); [BASELINE] config :10 requires it (recover
+2^12 lost blocks from an arbitrary surviving subset of 2^13). Built from
+the math, TPU-first: every step is a fixed-shape batched NTT or an
+elementwise field op — no data-dependent shapes (the erasure count is a
+static shape, the erasure *positions* are traced data).
+
+Scheme. Codeword c_j = f(w^j) with deg f < k; erasures E, |E| = e <= n-k:
+
+  1. Locator l(x) = prod_{j in E} (x - w^j), built as coefficients via a
+     log-depth **product tree**: level i multiplies pairs of monic
+     degree-2^i polynomials with NTT convolutions of size 2^(i+1).
+     Monic polys are stored without their leading 1, so every level is a
+     dense [d, m] array (d coefficients, m polynomials) - static shapes.
+  2. h = f * l has deg < n and known evaluations everywhere:
+     h(w^j) = c_j * l(w^j)  (zero at erasures since l(w^j) = 0 there),
+     so h_coeffs = iNTT_n(c * NTT_n(l)).
+  3. Forney via formal derivative: h' = f' l + f l', so at an erased j,
+     c_j = f(w^j) = h'(w^j) / l'(w^j). Derivatives are coefficient-wise
+     index multiplies; both evaluate with one more NTT_n each.
+
+Cost: two [n, lanes] NTTs + two scalar [n] NTTs + O(e log^2 e) tree work.
+Test oracle: bigint Lagrange interpolation (SURVEY.md Appendix B).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import gf, packing
+from .fields import FieldSpec, FIELDS
+from .ntt import intt, mul_prepared, ntt, prepare_consts
+from .rs import data_positions, parity_positions  # noqa: F401 (re-export)
+
+
+def _log2(n: int) -> int:
+    t = n.bit_length() - 1
+    assert 1 << t == n, f"size must be a power of two, got {n}"
+    return t
+
+
+@functools.lru_cache(maxsize=None)
+def _derivative_consts(field_name: str, n: int):
+    """Prepared [n-1] table of (m+1) mod p for coefficient-wise d/dx."""
+    field = FIELDS[field_name]
+    vals = (np.arange(1, n, dtype=np.uint64) % field.p).astype(np.uint32)
+    return np.asarray(prepare_consts(field, vals))
+
+
+def _tree_pow2(neg_roots, field: FieldSpec):
+    """Stored coeffs [e] of prod (x - r) over e roots, e a power of two.
+
+    Monic polynomials are stored *without* their leading 1: level i holds
+    [d=2^i, m] (m polys, d coefficients each, coefficient-major so the NTT
+    runs on axis 0); one level = batched size-2d NTT convolutions.
+    """
+    e = neg_roots.shape[0]
+    a = neg_roots.reshape(1, e)                        # [d=1, m=e]
+    d, m = 1, e
+    while m > 1:
+        lhs, rhs = a[:, 0::2], a[:, 1::2]              # [d, m/2] each
+        pad = jnp.zeros((d, m // 2), dtype=jnp.uint32)
+        fa = ntt(jnp.concatenate([lhs, pad], axis=0), field)   # [2d, m/2]
+        fb = ntt(jnp.concatenate([rhs, pad], axis=0), field)
+        prod = intt(gf.mul(field, fa, fb), field)      # a*b, deg <= 2d-2
+        # (x^d + a)(x^d + b) = x^2d + (a+b) x^d + a*b; store without x^2d
+        hi = gf.add(field, prod[d:], gf.add(field, lhs, rhs))
+        a = jnp.concatenate([prod[:d], hi], axis=0)    # [2d, m/2]
+        d, m = 2 * d, m // 2
+    return a[:, 0]                                     # [e]
+
+
+def _mul_monic(a, b, field: FieldSpec):
+    """Stored coeffs [d1+d2] of the product of two stored monic polys."""
+    d1, d2 = a.shape[0], b.shape[0]
+    size = 1 << (d1 + d2 - 1).bit_length()             # >= d1+d2-1 conv len
+    fa = ntt(jnp.concatenate([a, jnp.zeros(size - d1, jnp.uint32)]), field)
+    fb = ntt(jnp.concatenate([b, jnp.zeros(size - d2, jnp.uint32)]), field)
+    conv = intt(gf.mul(field, fa, fb), field)[: d1 + d2]
+    # (x^d1 + a)(x^d2 + b) = x^(d1+d2) + x^d2*a + x^d1*b + a*b
+    conv = conv.at[d2: d2 + d1].set(gf.add(field, conv[d2: d2 + d1], a))
+    return conv.at[d1: d1 + d2].set(gf.add(field, conv[d1: d1 + d2], b))
+
+
+def _loc_stored(neg_roots, field: FieldSpec):
+    """Stored locator coeffs for any root count: largest power-of-two
+    subtree + recursive remainder, merged with a monic multiply."""
+    e = neg_roots.shape[0]
+    if e == 1:
+        return neg_roots
+    t = 1 << (e.bit_length() - 1)
+    if t == e:
+        return _tree_pow2(neg_roots, field)
+    head = _tree_pow2(neg_roots[:t], field)
+    tail = _loc_stored(neg_roots[t:], field)
+    return _mul_monic(head, tail, field)
+
+
+def locator_coeffs(erased_idx, n: int, field: FieldSpec):
+    """Coefficients [e+1] of l(x) = prod_{j in E} (x - w_n^j), any e >= 1,
+    constant term first, leading 1 last. Positions must be distinct."""
+    w = field.root_of_order(n)
+    roots = gf.pow_base(field, w, erased_idx)          # w^j, [e]
+    stored = _loc_stored(gf.neg(field, roots), field)
+    return jnp.concatenate([stored, jnp.ones(1, dtype=jnp.uint32)])
+
+
+def _derivative(coeffs, field: FieldSpec, n: int):
+    """d/dx in coefficient space, padded back to length n."""
+    dc = jnp.asarray(_derivative_consts(field.name, n))
+    shape_tail = coeffs.shape[1:]
+    dcb = dc[: coeffs.shape[0] - 1].reshape(
+        (coeffs.shape[0] - 1,) + (1,) * len(shape_tail))
+    der = mul_prepared(field, coeffs[1:], dcb)
+    pad = jnp.zeros((n - der.shape[0],) + shape_tail, dtype=jnp.uint32)
+    return jnp.concatenate([der, pad], axis=0)
+
+
+def decode(codeword, erased_idx, field: FieldSpec):
+    """Recover erased rows of a codeword.
+
+    Args:
+      codeword: [n, lanes] uint32; rows listed in ``erased_idx`` may hold
+        arbitrary garbage (they are masked out internally).
+      erased_idx: [e] integer array of *distinct* erased positions, any
+        e >= 1. Exact recovery requires e <= n - k (deg(f*l) < n); this is
+        the information-theoretic bound, not an implementation limit.
+      field: field spec.
+
+    Returns:
+      [n, lanes] uint32 with every erased row replaced by its recovered
+      value; surviving rows pass through untouched.
+    """
+    n = codeword.shape[0]
+    _log2(n)
+    e = erased_idx.shape[0]
+    assert 1 <= e < n
+    erased_idx = jnp.asarray(erased_idx, dtype=jnp.uint32)
+    mask = jnp.zeros((n,), jnp.uint32).at[erased_idx].set(1)
+
+    lc = locator_coeffs(erased_idx, n, field)          # [e+1]
+    lpad = jnp.concatenate(
+        [lc, jnp.zeros((n - e - 1,), jnp.uint32)])     # deg l = e < n
+    l_eval = ntt(lpad, field)                          # l(w^j), [n]
+
+    rest = (1,) * (codeword.ndim - 1)
+    safe_cw = jnp.where((mask == 1).reshape((n,) + rest), 0, codeword)
+    l_prep = gf.prepare_device(field, l_eval).reshape((n,) + rest)
+    h_eval = gf.mul_prepared_device(field, safe_cw, l_prep)   # c * l
+    h_coeffs = intt(h_eval, field)
+
+    h_der = _derivative(h_coeffs, field, n)
+    hp_eval = ntt(h_der, field)                        # h'(w^j), [n, lanes]
+
+    l_der = _derivative(lc, field, n)
+    lp_eval = ntt(l_der, field)                        # l'(w^j), [n]
+    lp_inv = gf.prepare_device(field, gf.inv(field, lp_eval))
+
+    recovered = gf.mul_prepared_device(
+        field, hp_eval, lp_inv.reshape((n,) + rest))
+    return jnp.where((mask == 1).reshape((n,) + rest), recovered, codeword)
+
+
+decode_jit = jax.jit(decode, static_argnames=("field",))
+
+
+# ---------------------------------------------------------------------------
+# Block-level (wire format) decode.
+# ---------------------------------------------------------------------------
+
+def decode_blocks(survivors: dict, n: int, k: int, field: FieldSpec):
+    """Recover all k data blocks from any >= k surviving codeword blocks.
+
+    Args:
+      survivors: {codeword_position: bytes-like} — data positions hold raw
+        4096-byte blocks, parity positions hold 4352-byte wire parity.
+      n, k: code parameters (k | n, powers of two).
+      field: field spec.
+
+    Returns:
+      [k, 4096] uint8 array of the original data blocks.
+    """
+    assert len(survivors) >= k, (
+        f"unrecoverable: {len(survivors)} survivors < k={k}")
+    lanes = packing.field_lanes(field)
+    dpos = set(data_positions(n, k).tolist())
+    cw = np.zeros((n, lanes), dtype=np.uint32)
+    present = np.zeros(n, dtype=bool)
+    for pos, blob in survivors.items():
+        raw = np.frombuffer(bytes(blob), dtype=np.uint8)
+        if pos in dpos:
+            assert raw.size == packing.BLOCK_BYTES, f"bad data block @ {pos}"
+            cw[pos] = np.asarray(
+                packing.pack_data(jnp.asarray(raw[None]), field))[0]
+        else:
+            assert raw.size == packing.parity_bytes(field), (
+                f"bad parity block @ {pos}")
+            cw[pos] = np.asarray(
+                packing.deserialize_parity(jnp.asarray(raw[None]), field))[0]
+        present[pos] = True
+
+    erased = np.nonzero(~present)[0]
+    if erased.size:
+        full = decode_jit(jnp.asarray(cw), jnp.asarray(erased), field)
+    else:
+        full = jnp.asarray(cw)
+    data_rows = full[data_positions(n, k)]
+    return np.asarray(packing.unpack_data(data_rows, field))

@@ -182,3 +182,34 @@ def pow_const(field: FieldSpec, a, e: int):
 def inv(field: FieldSpec, a):
     """Elementwise inverse a^(p-2) mod p. inv(0) is undefined (returns 0)."""
     return pow_const(field, a, field.p - 2)
+
+
+def pow_base(field: FieldSpec, base: int, e):
+    """base ** e mod p with a static base and a *traced* integer exponent
+    array (square-and-multiply over e's bits; e < 2^max_log2 assumed,
+    used for per-position twiddles w^j from erasure indices)."""
+    e = jnp.asarray(e, dtype=jnp.uint32)
+    result = jnp.ones(e.shape, dtype=jnp.uint32)
+    sq = base % field.p
+    for t in range(field.max_log2 + 1):
+        bit = (e >> _U32(t)) & _U32(1)
+        stepped = mul_const(field, result, sq)
+        result = jnp.where(bit == 1, stepped, result)
+        sq = (sq * sq) % field.p
+    return result
+
+
+def prepare_device(field: FieldSpec, v):
+    """Device-side analog of ntt.prepare_consts for *traced* values: one
+    conversion REDC so later ``gf.mont_mul(x, prepared)``/GF16 ``mul`` cost
+    a single reduction per element."""
+    if field.use_mont:
+        return to_mont(field, v)
+    return v
+
+
+def mul_prepared_device(field: FieldSpec, x, prepared):
+    """x * v mod p where ``prepared = prepare_device(field, v)``."""
+    if field.use_mont:
+        return mont_mul(field, x, prepared)
+    return _mul_gf16(x, prepared)

@@ -1,0 +1,171 @@
+"""Erasure decoder vs. Lagrange-interpolation oracle + roundtrips.
+
+Covers [BASELINE] config :10 — recover 2^12 lost blocks from an arbitrary
+surviving subset of 2^13 codeword blocks — plus adversarial erasure
+patterns, non-power-of-two erasure counts, and the wire-format path.
+The oracle is exact bigint Lagrange interpolation (SURVEY.md Appendix B:
+any k surviving positions determine the degree-<k polynomial).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fastecc_tpu import decode as dec
+from fastecc_tpu import packing, rs
+from fastecc_tpu.fields import GF16, GF32
+
+RNG = np.random.default_rng(0xDEC0DE)
+
+
+def rand_field(field, shape):
+    return RNG.integers(0, field.p, size=shape, dtype=np.uint64).astype(
+        np.uint32)
+
+
+def lagrange_eval_all(survivor_pos, survivor_vals, n, field):
+    """Bigint oracle: interpolate through k survivors, evaluate at all
+    w^j. survivor_vals: [k, lanes]."""
+    p = field.p
+    w = field.root_of_order(n)
+    xs = [field.pow_host(w, int(s)) for s in survivor_pos]
+    lanes = survivor_vals.shape[1]
+    out = np.zeros((n, lanes), dtype=object)
+    for j in range(n):
+        x = field.pow_host(w, j)
+        acc = np.zeros(lanes, dtype=object)
+        for i, xi in enumerate(xs):
+            num, den = 1, 1
+            for m, xm in enumerate(xs):
+                if m != i:
+                    num = num * ((x - xm) % p) % p
+                    den = den * ((xi - xm) % p) % p
+            li = num * pow(den, p - 2, p) % p
+            acc = (acc + survivor_vals[i].astype(object) * li) % p
+        out[j] = acc
+    return out.astype(np.uint32)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_decode_vs_lagrange_oracle(field):
+    k, n, e = 8, 16, 8
+    data = rand_field(field, (k, 2))
+    cw = np.asarray(rs.encode_jit(jnp.asarray(data), field, n))
+    erased = np.asarray(sorted(RNG.choice(n, size=e, replace=False)))
+    surv = np.setdiff1d(np.arange(n), erased)[:k]
+    want = lagrange_eval_all(surv, cw[surv], n, field)
+    corrupted = cw.copy()
+    corrupted[erased] = 0xDEADBEEF % field.p  # garbage, not zeros
+    got = np.asarray(
+        dec.decode_jit(jnp.asarray(corrupted), jnp.asarray(erased), field))
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got, cw)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("e", [1, 3, 5, 8])  # incl. non-power-of-two
+def test_decode_roundtrip_patterns(field, e):
+    k, n = 8, 16
+    data = rand_field(field, (k, 3))
+    cw = np.asarray(rs.encode_jit(jnp.asarray(data), field, n))
+    erased = np.asarray(sorted(RNG.choice(n, size=e, replace=False)))
+    corrupted = cw.copy()
+    corrupted[erased] = 12345
+    got = np.asarray(
+        dec.decode_jit(jnp.asarray(corrupted), jnp.asarray(erased), field))
+    np.testing.assert_array_equal(got, cw)
+
+
+@pytest.mark.parametrize("which", ["all_data", "all_parity"])
+def test_decode_extreme_patterns(which):
+    """Erase exactly the data blocks, or exactly the parity blocks."""
+    field, k, n = GF32, 32, 64
+    data = rand_field(field, (k, 2))
+    cw = np.asarray(rs.encode_jit(jnp.asarray(data), field, n))
+    erased = (rs.data_positions(n, k) if which == "all_data"
+              else rs.parity_positions(n, k))
+    corrupted = cw.copy()
+    corrupted[erased] = 0
+    got = np.asarray(
+        dec.decode_jit(jnp.asarray(corrupted), jnp.asarray(erased), field))
+    np.testing.assert_array_equal(got, cw)
+
+
+def test_config10_scale():
+    """[BASELINE] config :10: recover 2^12 lost of 2^13 (lanes thinned)."""
+    field = GF32
+    k, n = 1 << 12, 1 << 13
+    data = rand_field(field, (k, 2))
+    cw = np.asarray(rs.encode_jit(jnp.asarray(data), field, n))
+    erased = np.asarray(
+        sorted(RNG.choice(n, size=n - k, replace=False)))
+    corrupted = cw.copy()
+    corrupted[erased] = 7
+    got = np.asarray(
+        dec.decode_jit(jnp.asarray(corrupted), jnp.asarray(erased), field))
+    np.testing.assert_array_equal(got, cw)
+
+
+def test_decode_blocks_wire_roundtrip():
+    """Wire-level: encode blocks, lose half (mixed data+parity), recover."""
+    field, k, n = GF32, 16, 32
+    raw = RNG.integers(0, 256, size=(k, 4096), dtype=np.uint16).astype(
+        np.uint8)
+    raw[0, :] = 0xFF  # escape-path stress
+    parity = np.asarray(rs.encode_blocks_jit(jnp.asarray(raw), field))
+    dpos = rs.data_positions(n, k)
+    ppos = rs.parity_positions(n, k)
+    # lose 9 data blocks and 7 parity blocks
+    lost_d = set(RNG.choice(k, size=9, replace=False).tolist())
+    lost_p = set(RNG.choice(k, size=7, replace=False).tolist())
+    survivors = {}
+    for i in range(k):
+        if i not in lost_d:
+            survivors[int(dpos[i])] = raw[i].tobytes()
+        if i not in lost_p:
+            survivors[int(ppos[i])] = parity[i].tobytes()
+    got = dec.decode_blocks(survivors, n, k, field)
+    np.testing.assert_array_equal(got, raw)
+
+
+def test_decode_blocks_gf16_wire_roundtrip():
+    field, k, n = GF16, 8, 16
+    raw = RNG.integers(0, 256, size=(k, 4096), dtype=np.uint16).astype(
+        np.uint8)
+    parity = np.asarray(rs.encode_blocks_jit(jnp.asarray(raw), field))
+    dpos, ppos = rs.data_positions(n, k), rs.parity_positions(n, k)
+    survivors = {int(ppos[i]): parity[i].tobytes() for i in range(k)}
+    # zero data blocks survive: recover everything from parity alone
+    got = dec.decode_blocks(survivors, n, k, field)
+    np.testing.assert_array_equal(got, raw)
+
+
+def test_decode_blocks_insufficient_survivors():
+    field, k, n = GF32, 8, 16
+    raw = np.zeros((k, 4096), np.uint8)
+    parity = np.asarray(rs.encode_blocks_jit(jnp.asarray(raw), field))
+    ppos = rs.parity_positions(n, k)
+    survivors = {int(ppos[i]): parity[i].tobytes() for i in range(k - 1)}
+    with pytest.raises(AssertionError, match="unrecoverable"):
+        dec.decode_blocks(survivors, n, k, field)
+
+
+def test_locator_is_monic_product():
+    """Locator coefficients vs. bigint polynomial expansion."""
+    field, n = GF32, 64
+    for e in (1, 2, 3, 7, 8):
+        erased = np.asarray(sorted(RNG.choice(n, size=e, replace=False)))
+        got = np.asarray(dec.locator_coeffs(
+            jnp.asarray(erased, jnp.uint32), n, field))
+        w = field.root_of_order(n)
+        poly2 = [1]  # bigint expansion of prod (x - w^j)
+        for j in erased:
+            r = field.pow_host(w, int(j))
+            nxt = [0] * (len(poly2) + 1)
+            for m, cm in enumerate(poly2):
+                nxt[m + 1] = (nxt[m + 1] + cm) % field.p       # x * cm
+                nxt[m] = (nxt[m] - r * cm) % field.p           # -r * cm
+            poly2 = nxt
+        want = np.array(poly2, dtype=np.uint32)
+        np.testing.assert_array_equal(got, want)
