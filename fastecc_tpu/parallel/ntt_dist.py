@@ -1,0 +1,130 @@
+"""Mesh-sharded four-step NTT: one transform spanning devices/hosts.
+
+This is the rebuild's replacement for the reference's cache-blocked MFA
+NTT + OpenMP (SURVEY.md C9/C19->C20): the same four-step decomposition,
+but the matrix transposes between phases are ``jax.lax.all_to_all``
+collectives over the ``coeff`` mesh axis (ICI), so a single 2^20-point
+GF(p) transform spans N >= 2 hosts ([BASELINE] north star + config :11).
+
+Decomposition (same convention as ntt.ntt_four_step, n = r + R*c,
+k = k_c + C*k_r, natural order in and out, 'coeff' axis size D):
+
+  local view start      [C/D, R, L]   (natural input, c-slabs per device)
+  all_to_all #1    ->   [C, R/D, L]   localize the c axis
+  local NTT_C (axis 0)               Stockham, full C on-device
+  twiddle w_N^(k_c * r)              host table, sharded over r
+  all_to_all #2    ->   [C/D, R, L]   localize the r axis
+  local NTT_R (axis 1)               full R on-device
+  transpose+reshape ->  [N/D, L]      natural output, k_r-slabs per device
+
+Lanes (axis 1) shard over the ``block`` mesh axis with no communication.
+
+The distributed RS encode uses the coset trick (rs.encode_parity): both
+NTTs are the same length k, so the whole encode needs exactly the
+all_to_alls of two transforms and zero resharding between them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import gf
+from ..fields import FieldSpec
+from ..ntt import _four_step_twiddles, _log2, mul_prepared, ntt
+from ..rs import _check_kn, _coset_twiddles
+
+
+def _split_dims(n: int, d: int, c_dim: int | None):
+    t = _log2(n)
+    if c_dim is None:
+        c_dim = max(d, 1 << (t // 2))
+    r_dim = n // c_dim
+    assert c_dim * r_dim == n
+    assert c_dim % d == 0 and r_dim % d == 0, (
+        f"coeff axis {d} must divide both C={c_dim} and R={r_dim} "
+        f"(need N >= D^2; N={n}, D={d})")
+    return c_dim, r_dim
+
+
+def ntt_sharded(x, field: FieldSpec, mesh: Mesh, inverse: bool = False,
+                c_dim: int | None = None, scale: bool = True):
+    """N-point NTT along axis 0 of [N, L], sharded P('coeff', 'block').
+
+    Bit-exact equal to the single-chip ``ntt.ntt`` (natural order in/out);
+    input may have any sharding (constrained on entry), output is
+    P('coeff', 'block').
+    """
+    n = x.shape[0]
+    d = mesh.shape["coeff"]
+    if d == 1:
+        out = ntt(x, field, inverse=inverse, scale=scale)
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P("coeff", "block")))
+    c_dim, r_dim = _split_dims(n, d, c_dim)
+    tw = jnp.asarray(_four_step_twiddles(field.name, n, c_dim, inverse))
+
+    def body(xl, twl):
+        # xl: [C/D, R, L_b] (c-slab), twl: [C, R/D] (r-slab of the table)
+        y = jax.lax.all_to_all(xl, "coeff", split_axis=1, concat_axis=0,
+                               tiled=True)               # [C, R/D, L_b]
+        y = ntt(y, field, inverse=inverse, scale=False)  # axis 0: c -> k_c
+        y = mul_prepared(field, y, twl[:, :, None])      # w_N^(k_c * r)
+        y = jax.lax.all_to_all(y, "coeff", split_axis=0, concat_axis=1,
+                               tiled=True)               # [C/D, R, L_b]
+        y = jnp.moveaxis(y, 1, 0)                        # [R, C/D, L_b]
+        y = ntt(y, field, inverse=inverse, scale=False)  # axis 0: r -> k_r
+        y = jax.lax.all_to_all(y, "coeff", split_axis=0, concat_axis=1,
+                               tiled=True)               # [R/D, C, L_b]
+        # local slab is k = k_c + C*k_r for k_r in this device's range:
+        # row-major reshape gives the natural contiguous k-slab.
+        out = y.reshape((r_dim // d) * c_dim, -1)
+        if inverse and scale:
+            out = gf.mul_const(field, out, field.inv_host(n))
+        return out
+
+    shmap = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("coeff", None, "block"), P(None, "coeff")),
+        out_specs=P("coeff", "block"))
+    lanes = x.shape[1]
+    xr = jax.lax.with_sharding_constraint(
+        x.reshape(c_dim, r_dim, lanes),
+        NamedSharding(mesh, P("coeff", None, "block")))
+    return shmap(xr, tw).reshape(n, lanes)
+
+
+ntt_sharded_jit = jax.jit(
+    ntt_sharded, static_argnames=("field", "mesh", "inverse", "c_dim",
+                                  "scale"))
+
+
+def encode_parity_sharded(data, field: FieldSpec, mesh: Mesh,
+                          n: int | None = None):
+    """Distributed RS parity: iNTT_k -> coset twiddle -> NTT_k, all
+    sharded; matches rs.encode_parity bit-exactly (row order included)."""
+    k = data.shape[0]
+    n = 2 * k if n is None else n
+    _check_kn(k, n)
+    c = n // k
+    lanes = data.shape[1]
+    coeffs = ntt_sharded(data, field, mesh, inverse=True)
+    tws = jnp.asarray(_coset_twiddles(field.name, n, k))
+    spec = NamedSharding(mesh, P("coeff", "block"))
+    cosets = []
+    for r in range(1, c):
+        tw = jax.lax.with_sharding_constraint(
+            jnp.broadcast_to(tws[r - 1][:, None], (k, 1)),
+            NamedSharding(mesh, P("coeff", None)))
+        prod = mul_prepared(field, coeffs, tw)
+        cosets.append(ntt_sharded(prod, field, mesh))
+    stacked = jnp.stack(cosets, axis=1)                  # [k, c-1, L]
+    out = stacked.reshape(n - k, lanes)
+    return jax.lax.with_sharding_constraint(out, spec)
+
+
+encode_parity_sharded_jit = jax.jit(
+    encode_parity_sharded, static_argnames=("field", "mesh", "n"))
