@@ -45,6 +45,19 @@ def run(lg_k: int, lanes: int, iters: int, lane_chunks: int):
     return secs, total_bytes, k, n
 
 
+def run_ntt_metric(iters: int):
+    """Secondary headline: 2^20-point GF(p) NTT wall time (BASELINE.json:2).
+
+    512 lanes (2GB working set) so input+intermediate+output fit alongside
+    nothing else; the per-element rate is lane-count independent."""
+    from fastecc_tpu.ntt import ntt_auto
+    x = jax.block_until_ready(make_data(1 << 20, 512))
+    fn = jax.jit(lambda v: ntt_auto(v, GF32))
+    secs = time_fn(fn, x, iters=iters)
+    del x
+    return secs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lg-k", type=int, default=19,
@@ -52,18 +65,16 @@ def main():
     ap.add_argument("--lanes", type=int, default=1024,
                     help="u32 word lanes per block (1024 = 4KB blocks)")
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--lane-chunks", type=int, default=0,
-                    help="sequential lane chunks (0 = auto: bound the "
-                         "per-chunk working set near 512MB)")
+    ap.add_argument("--lane-chunks", type=int, default=1,
+                    help="sequential lane chunks (memory fallback for the "
+                         "staged jnp path; the fused Pallas path fits "
+                         "unchunked and chunking slows it down)")
     args = ap.parse_args()
 
     lg_k = args.lg_k
     fallback = False
     while True:
         chunks = args.lane_chunks
-        if chunks == 0:
-            # target <= 2^27 words (~512MB) per chunk working array
-            chunks = max(1, ((1 << lg_k) * args.lanes) >> 27)
         try:
             secs, total_bytes, k, n = run(lg_k, args.lanes, args.iters,
                                           chunks)
@@ -82,6 +93,11 @@ def main():
             gc.collect()
             jax.clear_caches()
 
+    try:
+        ntt_secs = round(run_ntt_metric(args.iters), 4)
+    except Exception:  # noqa: BLE001 - secondary metric is best-effort
+        ntt_secs = None
+
     gbps = total_bytes / secs / 1e9
     print(json.dumps({
         "metric": "rs_encode_throughput",
@@ -92,6 +108,7 @@ def main():
                    "block_bytes": args.lanes * 4, "field": "GF32",
                    "seconds": round(secs, 4), "fallback": fallback,
                    "lane_chunks": chunks,
+                   "ntt_2e20_x512lane_seconds": ntt_secs,
                    "device": str(jax.devices()[0]).strip()},
     }))
 

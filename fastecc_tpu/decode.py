@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from . import gf, packing
 from .fields import FieldSpec, FIELDS
-from .ntt import intt, mul_prepared, ntt, prepare_consts
+from .ntt import intt, mul_prepared, ntt, ntt_auto, prepare_consts
 from .rs import data_positions, parity_positions  # noqa: F401 (re-export)
 
 
@@ -153,10 +153,10 @@ def decode(codeword, erased_idx, field: FieldSpec):
     safe_cw = jnp.where((mask == 1).reshape((n,) + rest), 0, codeword)
     l_prep = gf.prepare_device(field, l_eval).reshape((n,) + rest)
     h_eval = gf.mul_prepared_device(field, safe_cw, l_prep)   # c * l
-    h_coeffs = intt(h_eval, field)
+    h_coeffs = ntt_auto(h_eval, field, inverse=True)
 
     h_der = _derivative(h_coeffs, field, n)
-    hp_eval = ntt(h_der, field)                        # h'(w^j), [n, lanes]
+    hp_eval = ntt_auto(h_der, field)                   # h'(w^j), [n, lanes]
 
     l_der = _derivative(lc, field, n)
     lp_eval = ntt(l_der, field)                        # l'(w^j), [n]

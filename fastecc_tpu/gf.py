@@ -21,12 +21,15 @@ uint32 out, no data-dependent control flow.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from .fields import FieldSpec, GF16
 
-_U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+# numpy scalars (not jnp arrays) so constants inline into ops — required
+# for use inside Pallas kernels, which reject captured array constants.
+_U32 = np.uint32
+_MASK16 = np.uint32(0xFFFF)
 
 
 def _u32(x) -> jnp.ndarray:

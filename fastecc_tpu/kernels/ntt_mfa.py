@@ -1,0 +1,262 @@
+"""Fused four-step NTT as two Pallas passes (SURVEY.md C8/C9 hot path).
+
+The pure-jnp Stockham transform (ntt.py) costs one HBM pass per butterfly
+stage (log2 N passes). This module is the speed-of-light formulation: the
+Matrix Fourier decomposition N = C x R, where each pass keeps a whole
+sub-transform resident in VMEM and fuses all its stages:
+
+  pass A (column): grid over (R/TR, L/TL) tiles [C, TR, TL]
+      - C-point Stockham NTT along axis 0 (stages fused in VMEM)
+      - multiply by the four-step twiddle T[k_c, r] = w_N^(k_c * r),
+        **generated on-chip**: a [C] seed of w^k_c powers + one [C] row
+        per grid step drive a Montgomery-domain column recurrence
+        T[:, r+1] = T[:, r] * seed — O(sqrt N) table traffic instead of
+        the O(N) table the single-chip jnp path loads ([BASELINE]:5
+        "on-chip twiddle generation")
+      - tile transpose -> intermediate Y[r, k_c, l]
+  pass B (row): grid over (C/TC, L/TL) tiles [R, TC, TL]
+      - R-point NTT along axis 0; output IS natural order (k = k_c + C*k_r,
+        k_r-major), no third pass, no bit-reversal anywhere.
+
+The inverse scale N^-1 folds into the pass-A twiddle table (every element
+is multiplied by T exactly once), so iNTT costs the same as NTT.
+
+Total HBM traffic: 2 read + 2 write passes per transform vs log2(N) for
+the staged path. Bit-exact equal to ntt.ntt for every size/field.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import gf
+from ..fields import FieldSpec, FIELDS
+from ..ntt import _log2, _stage_twiddles, mul_prepared, ntt, powers_host, \
+    prepare_consts
+
+# Tile sizes: TR x TL batch columns per grid step; the transform axis is
+# resident in full. (8, 128) is the native u32 tile; TR > 8 amortizes
+# per-tile overheads at the cost of VMEM.
+_TR = 8
+_TL = 128
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_stage_twiddles(field_name: str, c: int, inverse: bool):
+    """All Stockham stage tables for a length-c transform, concatenated
+    ([c/2] + [c/4] + ... + [1] = c-1 prepared values, zero-padded to [c]
+    so the VMEM operand block can cover the whole array)."""
+    parts = []
+    a = c
+    while a >= 2:
+        parts.append(_stage_twiddles(field_name, a, inverse))
+        a >>= 1
+    parts.append(np.zeros(1, np.uint32))
+    return np.concatenate(parts)
+
+
+@functools.lru_cache(maxsize=None)
+def _colpass_seeds(field_name: str, n: int, c: int, inverse: bool,
+                   scale: bool, tr: int):
+    """Host-side O(sqrt N) twiddle seeds for pass A.
+
+    Returns (seed [C], t0 [R/tr, C]): seed[k_c] = prep(w_N^k_c);
+    t0[i, k_c] = prep(s * w_N^(k_c * i * tr)) with s = N^-1 when scaling an
+    inverse transform, else 1. 'prep' is the Montgomery scaling, under
+    which the in-kernel recurrence t *= seed stays closed.
+    """
+    field = FIELDS[field_name]
+    r_dim = n // c
+    w = field.root_of_order(n)
+    if inverse:
+        w = field.inv_host(w)
+    s = field.inv_host(n) if (inverse and scale) else 1
+    seed = powers_host(field, w, c)
+    t0 = np.empty((r_dim // tr, c), dtype=np.uint32)
+    for i in range(r_dim // tr):
+        base = field.pow_host(w, i * tr)
+        # t0[i, k_c] = s * base^k_c
+        t0[i] = (powers_host(field, base, c).astype(object) * s
+                 % field.p).astype(np.uint32)
+    return (np.asarray(prepare_consts(field, seed)),
+            np.asarray(prepare_consts(field, t0)))
+
+
+def _ntt_stages(y, field: FieldSpec, tw_ref, c: int):
+    """Fused Stockham stages along axis 0 of y [c, TR, TL] (in VMEM).
+
+    tw_ref: [c, 1] packed prepared stage twiddles (2D: Mosaic supports
+    sublane-sliced 2D vectors; 1D reshapes are rejected).
+    """
+    t = _log2(c)
+    y = y.reshape((c, 1, _TR, _TL))
+    off = 0
+    for s in range(t):
+        a = c >> s
+        half = a >> 1
+        lo, hi = y[:half], y[half:]
+        even = gf.add(field, lo, hi)
+        diff = gf.sub(field, lo, hi)
+        if a == 2:
+            odd = diff          # w_2^0 = 1: the multiply is the identity
+        elif half >= 8:
+            # sublane-aligned vector slice broadcasts cleanly
+            tw = tw_ref[off:off + half][:, None, :, None]
+            odd = mul_prepared(field, diff, tw)
+        else:
+            # sub-tile slices can't splat across sublanes+lanes in Mosaic:
+            # extract the (at most 4) twiddles as scalars
+            parts = [mul_prepared(field, diff[j], tw_ref[off + j, 0])
+                     for j in range(half)]
+            odd = jnp.stack(parts, axis=0)
+        off += half
+        y = jnp.stack([even, odd], axis=1).reshape(
+            (half, 2 * y.shape[1], _TR, _TL))
+    return y.reshape((c, _TR, _TL))
+
+
+def _col_kernel(tw_ref, seed_ref, t0_ref, x_ref, out_ref, *,
+                field: FieldSpec, c: int):
+    y = _ntt_stages(x_ref[:], field, tw_ref[:], c)      # [C, TR, TL]
+    _col_epilogue(tw_ref, seed_ref, t0_ref, y, out_ref, field)
+
+
+def _col_kernel_pre(tw_ref, seed_ref, t0_ref, pcol_ref, prow_ref, x_ref,
+                    out_ref, *, field: FieldSpec, c: int):
+    """Pass A with a fused rank-1 input multiply x[m] *= g^m, where
+    m = r + R*c decomposes g^m = pcol[c] * prow[r] (the RS coset twiddle:
+    one in-kernel mult instead of a whole extra HBM pass)."""
+    pre = mul_prepared(field, pcol_ref[:], prow_ref[0])  # [C,1]x[1,TR]->[C,TR]
+    x = mul_prepared(field, x_ref[:], pre[:, :, None])
+    y = _ntt_stages(x, field, tw_ref[:], c)
+    _col_epilogue(tw_ref, seed_ref, t0_ref, y, out_ref, field)
+
+
+def _col_epilogue(tw_ref, seed_ref, t0_ref, y, out_ref, field: FieldSpec):
+    """Four-step twiddle multiply (on-chip generated tile) + transpose."""
+    # column recurrence from the per-grid-step seed row
+    t_col = t0_ref[0]                                    # [C, 1] = T[:, r0]
+    cols = []
+    for j in range(_TR):
+        cols.append(t_col)
+        if j + 1 < _TR:
+            t_col = mul_prepared(field, t_col, seed_ref[:])
+    t_tile = jnp.concatenate(cols, axis=1)               # [C, TR]
+    y = mul_prepared(field, y, t_tile[:, :, None])
+    out_ref[:] = jnp.transpose(y, (1, 0, 2))             # [TR, C, TL]
+
+
+def _row_kernel(tw_ref, y_ref, out_ref, *, field: FieldSpec, r: int):
+    out_ref[:] = _ntt_stages(y_ref[:], field, tw_ref[:], r)
+
+
+def _supported(n: int, lanes: int) -> bool:
+    t = _log2(n)
+    c = 1 << ((t + 1) // 2)
+    r = n >> ((t + 1) // 2)
+    return r >= _TR and lanes % _TL == 0 and c >= 2
+
+
+@functools.lru_cache(maxsize=None)
+def _pre_mul_tables(field_name: str, g_pre: int, c: int, r: int, tr: int):
+    """Host tables for the fused rank-1 input multiply x[m] *= g_pre^m:
+    with m = r + R*c, g^m = (g^R)^c * g^r. Returns (pcol [C],
+    prow [R/tr, 1, tr]), both prepared."""
+    field = FIELDS[field_name]
+    pcol = powers_host(field, field.pow_host(g_pre, r), c)
+    prow = powers_host(field, g_pre, r).reshape(r // tr, 1, tr)
+    return (np.asarray(prepare_consts(field, pcol)),
+            np.asarray(prepare_consts(field, prow)))
+
+
+def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
+               scale: bool = True, pre_seed: int | None = None,
+               interpret: bool = False):
+    """Two-pass fused NTT along axis 0 of [N, L]; bit-exact vs ntt.ntt.
+
+    ``pre_seed=g`` fuses an input-side multiply x[m] *= g^m into pass A
+    (the RS coset twiddle — rs.encode uses it to evaluate parity cosets
+    with zero extra HBM passes). Requires N >= 2^7-ish (R >= 8) and
+    L % 128 == 0; callers fall back to the staged jnp path otherwise.
+    """
+    n, lanes = x.shape
+    t = _log2(n)
+    c = 1 << ((t + 1) // 2)
+    r = n // c
+    assert _supported(n, lanes), (
+        f"ntt_pallas needs R>=8 and L%128==0 (N={n} -> R={r}, L={lanes})")
+
+    tw_c = jnp.asarray(_packed_stage_twiddles(field.name, c, inverse))[:, None]
+    tw_r = jnp.asarray(_packed_stage_twiddles(field.name, r, inverse))[:, None]
+    seed, t0 = _colpass_seeds(field.name, n, c, inverse, scale, _TR)
+    seed = jnp.asarray(seed)[:, None]
+    t0 = jnp.asarray(t0).reshape(r // _TR, c, 1)
+
+    vec_specs = [
+        pl.BlockSpec((c, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c, 1), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if pre_seed is None:
+        kernel_a = functools.partial(_col_kernel, field=field, c=c)
+        a_specs, a_args = vec_specs, (tw_c, seed, t0)
+    else:
+        pcol, prow = _pre_mul_tables(field.name, pre_seed % field.p, c, r,
+                                     _TR)
+        kernel_a = functools.partial(_col_kernel_pre, field=field, c=c)
+        a_specs = vec_specs + [
+            pl.BlockSpec((c, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _TR), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        a_args = (tw_c, seed, t0, jnp.asarray(pcol)[:, None],
+                  jnp.asarray(prow))
+
+    x3 = x.reshape(c, r, lanes)
+    col = pl.pallas_call(
+        kernel_a,
+        grid=(r // _TR, lanes // _TL),
+        in_specs=a_specs + [
+            pl.BlockSpec((c, _TR, _TL), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TR, c, _TL), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, c, lanes), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*a_args, x3)
+
+    row = pl.pallas_call(
+        functools.partial(_row_kernel, field=field, r=r),
+        grid=(c // _TR, lanes // _TL),
+        in_specs=[
+            pl.BlockSpec((r, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, _TR, _TL), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, _TR, _TL), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, c, lanes), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(tw_r, col)
+
+    # k = k_c + C*k_r with k_r-major rows: row is already natural order.
+    return row.reshape(n, lanes)
+
+
+ntt_pallas_jit = jax.jit(
+    ntt_pallas,
+    static_argnames=("field", "inverse", "scale", "pre_seed", "interpret"))

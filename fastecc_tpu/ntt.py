@@ -158,6 +158,34 @@ ntt_jit = jax.jit(ntt, static_argnames=("field", "inverse", "scale"))
 intt_jit = jax.jit(intt, static_argnames=("field", "scale"))
 
 
+def ntt_auto(x, field: FieldSpec, inverse: bool = False, scale: bool = True,
+             pre_seed: int | None = None):
+    """Best-backend NTT along axis 0: the fused two-pass Pallas MFA kernel
+    on TPU for supported shapes (kernels/ntt_mfa.py), else the staged jnp
+    Stockham path. ``pre_seed=g`` applies the input-side multiply
+    x[m] *= g^m (free in the Pallas path, one extra pass in the fallback).
+    Bit-exact across backends.
+    """
+    from .kernels import ntt_mfa  # local import: kernels pull in pallas
+
+    if (x.ndim == 2 and jax.default_backend() == "tpu"
+            and ntt_mfa._supported(x.shape[0], x.shape[1])):
+        return ntt_mfa.ntt_pallas(x, field, inverse=inverse, scale=scale,
+                                  pre_seed=pre_seed)
+    if pre_seed is not None:
+        n = x.shape[0]
+        pre = _pre_powers(field.name, pre_seed % field.p, n)
+        x = mul_prepared(
+            field, x, jnp.asarray(pre).reshape((n,) + (1,) * (x.ndim - 1)))
+    return ntt(x, field, inverse=inverse, scale=scale)
+
+
+@functools.lru_cache(maxsize=None)
+def _pre_powers(field_name: str, g: int, n: int):
+    field = FIELDS[field_name]
+    return np.asarray(prepare_consts(field, powers_host(field, g, n)))
+
+
 # ---------------------------------------------------------------------------
 # Four-step / MFA decomposition (C9).
 # ---------------------------------------------------------------------------

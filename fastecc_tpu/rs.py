@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from . import gf, packing
 from .fields import FieldSpec, FIELDS
-from .ntt import (intt, mul_prepared, ntt, powers_host, prepare_consts)
+from .ntt import (intt, mul_prepared, ntt, ntt_auto, powers_host,
+                  prepare_consts)
 
 
 def _check_kn(k: int, n: int):
@@ -74,11 +75,11 @@ def encode(data, field: FieldSpec, n: int | None = None):
     k = data.shape[0]
     n = 2 * k if n is None else n
     _check_kn(k, n)
-    coeffs = intt(data, field)
+    coeffs = ntt_auto(data, field, inverse=True)
     padded = jnp.concatenate(
         [coeffs, jnp.zeros((n - k,) + data.shape[1:], dtype=jnp.uint32)],
         axis=0)
-    return ntt(padded, field)
+    return ntt_auto(padded, field)
 
 
 def encode_parity(data, field: FieldSpec, n: int | None = None,
@@ -105,12 +106,14 @@ def encode_parity(data, field: FieldSpec, n: int | None = None,
         return jnp.moveaxis(ys, 0, 1).reshape(n - k, data.shape[1])
     c = n // k
     rest = data.shape[1:]
-    coeffs = intt(data, field)
-    tws = jnp.asarray(_coset_twiddles(field.name, n, k))
+    coeffs = ntt_auto(data, field, inverse=True)
+    w_n = field.root_of_order(n)
     cosets = []
     for r in range(1, c):
-        tw = tws[r - 1].reshape((k,) + (1,) * len(rest))
-        cosets.append(ntt(mul_prepared(field, coeffs, tw), field))
+        # coset r evaluation = NTT_k with the input multiplied by w_n^(r*m);
+        # ntt_auto fuses that multiply into the Pallas pass-A prologue.
+        cosets.append(
+            ntt_auto(coeffs, field, pre_seed=field.pow_host(w_n, r)))
     stacked = jnp.stack(cosets, axis=1)          # [k, c-1, L]
     return stacked.reshape((n - k,) + rest)
 

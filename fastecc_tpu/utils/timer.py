@@ -7,20 +7,41 @@ from __future__ import annotations
 
 import time
 
+import numpy as np
 import jax
+
+
+def fence(out):
+    """Force completion of a computation's outputs.
+
+    ``jax.block_until_ready`` alone is NOT sufficient on the axon TPU
+    backend for executables containing Pallas custom calls (dispatch is
+    fully async and readiness reports early); a host transfer of one
+    element per leaf is a true data dependency. The result reference is
+    then dropped by the caller so queued work can't accumulate HBM.
+    """
+    out = jax.block_until_ready(out)
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ndim"):
+            idx = (0,) * leaf.ndim
+            np.asarray(jax.device_get(leaf[idx] if leaf.ndim else leaf))
+    return out
 
 
 def time_fn(fn, *args, iters: int = 3, warmup: int = 1):
     """Best-of-``iters`` wall time of ``fn(*args)`` in seconds.
 
     Runs ``warmup`` untimed calls first (absorbs jit compilation), fences
-    every call with ``block_until_ready`` on all output leaves.
+    every call (see :func:`fence`), and drops each result before the next
+    iteration so async dispatch can't stack output buffers in HBM.
     """
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        r = fence(fn(*args))
+        del r
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        r = fence(fn(*args))
         best = min(best, time.perf_counter() - t0)
+        del r
     return best
