@@ -1,0 +1,294 @@
+"""Command-line interface mirroring the reference's two binaries (C17).
+
+The reference ships `ntt` (algorithm verify/bench modes selected by
+single-letter flags) and `rs` (encode N blocks of SIZE, report GB/s)
+(SURVEY.md §3.1/§3.2). This CLI reproduces those modes as subcommands and
+adds what a real deployment needs: file-level encode/recover.
+
+    python -m fastecc_tpu.cli verify   --lg-n 10            # fast vs slow
+    python -m fastecc_tpu.cli roundtrip --lg-n 16           # intt(ntt(x))==x
+    python -m fastecc_tpu.cli gf-bench                      # mulmod ops/s
+    python -m fastecc_tpu.cli ntt-bench --lg-n 20           # NTT GB/s
+    python -m fastecc_tpu.cli rs-bench  --lg-k 19           # encode GB/s
+    python -m fastecc_tpu.cli encode   FILE -o DIR          # write parity
+    python -m fastecc_tpu.cli recover  DIR  -o FILE         # from survivors
+    python -m fastecc_tpu.cli scaling  --devices 8          # weak scaling
+
+File format: `encode` splits FILE into 4KB data blocks (zero-padded tail,
+original size recorded in manifest.json), writes the parity blocks and the
+manifest into DIR. `recover` reads whatever block files still exist in DIR
+(delete some to simulate loss) plus the original data blocks if present,
+and reconstructs FILE from any >= k survivors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+
+def _field(name: str):
+    from .fields import FIELDS
+    return FIELDS[name.upper()]
+
+
+def _rand(field, shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, field.p, size=shape, dtype=np.uint64).astype(
+        np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# verify / bench modes (reference `ntt` binary)
+# ---------------------------------------------------------------------------
+
+def cmd_verify(args):
+    """Fast NTT vs naive O(N^2) DFT, plus four-step cross-check."""
+    import jax.numpy as jnp
+    from . import ntt as nttmod
+    field = _field(args.field)
+    n = 1 << args.lg_n
+    assert args.lg_n <= 10, "naive oracle is O(N^2); use roundtrip beyond"
+    x = _rand(field, (n, args.lanes))
+    want = nttmod.naive_dft(x, field)
+    got = np.asarray(nttmod.ntt_jit(jnp.asarray(x), field))
+    mfa = np.asarray(nttmod.ntt_four_step_jit(jnp.asarray(x), field))
+    ok = (got == want).all() and (mfa == want).all()
+    print(f"verify lg_n={args.lg_n} {field.name}: "
+          f"{'PASS' if ok else 'FAIL'} (stockham & four-step vs naive DFT)")
+    return 0 if ok else 1
+
+
+def cmd_roundtrip(args):
+    import jax.numpy as jnp
+    from . import ntt as nttmod
+    field = _field(args.field)
+    n = 1 << args.lg_n
+    x = _rand(field, (n, args.lanes))
+    back = np.asarray(nttmod.intt_jit(
+        nttmod.ntt_jit(jnp.asarray(x), field), field))
+    ok = (back == x).all()
+    print(f"roundtrip lg_n={args.lg_n} {field.name}: "
+          f"{'PASS' if ok else 'FAIL'} (intt(ntt(x)) == x)")
+    return 0 if ok else 1
+
+
+def cmd_gf_bench(args):
+    """Mulmod microbenchmark (reference `ntt` 'b' mode, SURVEY.md §3.3)."""
+    import jax, jax.numpy as jnp
+    from . import gf
+    from .utils.timer import time_fn
+    field = _field(args.field)
+    m = 1 << args.lg_size
+    a = jnp.asarray(_rand(field, (m,), 1))
+    b = jnp.asarray(_rand(field, (m,), 2))
+    fn = jax.jit(lambda u, v: gf.mul(field, u, v))
+    secs = time_fn(fn, a, b, iters=args.iters)
+    print(json.dumps({"op": "gf_mul", "field": field.name,
+                      "elements": m, "seconds": round(secs, 6),
+                      "ops_per_sec": round(m / secs / 1e9, 3),
+                      "unit": "Gmul/s"}))
+    return 0
+
+
+def cmd_ntt_bench(args):
+    import jax, jax.numpy as jnp
+    from .ntt import ntt_auto
+    from .utils.timer import time_fn
+    field = _field(args.field)
+    n = 1 << args.lg_n
+    x = jnp.asarray(_rand(field, (n, args.lanes)))
+    fn = jax.jit(lambda v: ntt_auto(v, field, inverse=args.inverse))
+    secs = time_fn(fn, x, iters=args.iters)
+    gb = x.size * 4 / 1e9
+    print(json.dumps({"op": "intt" if args.inverse else "ntt",
+                      "field": field.name, "lg_n": args.lg_n,
+                      "lanes": args.lanes, "seconds": round(secs, 4),
+                      "gb_per_sec": round(gb / secs, 2)}))
+    return 0
+
+
+def cmd_rs_bench(args):
+    import jax, jax.numpy as jnp
+    from . import rs
+    from .utils.timer import time_fn
+    field = _field(args.field)
+    k, n = 1 << args.lg_k, 1 << (args.lg_k + 1)
+    x = jnp.asarray(_rand(field, (k, args.lanes)))
+    fn = jax.jit(lambda v: rs.encode_parity(v, field, n))
+    secs = time_fn(fn, x, iters=args.iters)
+    gb = n * args.lanes * 4 / 1e9
+    print(json.dumps({"op": "rs_encode", "field": field.name,
+                      "k": k, "n": n, "lanes": args.lanes,
+                      "seconds": round(secs, 4),
+                      "gb_per_sec": round(gb / secs, 2)}))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# file-level encode / recover (the product path, end to end)
+# ---------------------------------------------------------------------------
+
+def _file_blocks(path: pathlib.Path):
+    from .packing import BLOCK_BYTES
+    raw = np.fromfile(path, dtype=np.uint8)
+    k_data = max(1, -(-raw.size // BLOCK_BYTES))
+    k = 1 << (k_data - 1).bit_length()           # round up to power of two
+    blocks = np.zeros((k, BLOCK_BYTES), np.uint8)
+    blocks.reshape(-1)[: raw.size] = raw
+    return blocks, raw.size, k
+
+
+def cmd_encode(args):
+    import jax.numpy as jnp
+    from . import rs
+    field = _field(args.field)
+    src = pathlib.Path(args.file)
+    out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    blocks, size, k = _file_blocks(src)
+    n = 2 * k
+    parity = np.asarray(rs.encode_blocks_jit(jnp.asarray(blocks), field, n))
+    dpos, ppos = rs.data_positions(n, k), rs.parity_positions(n, k)
+    for i in range(k):
+        (out / f"block_{int(dpos[i]):06d}.dat").write_bytes(
+            blocks[i].tobytes())
+        (out / f"block_{int(ppos[i]):06d}.par").write_bytes(
+            parity[i].tobytes())
+    (out / "manifest.json").write_text(json.dumps({
+        "file": src.name, "size": size, "k": k, "n": n,
+        "field": field.name, "format": "fastecc-tpu-v1"}))
+    print(f"encoded {src} ({size} bytes) -> {k} data + {k} parity blocks "
+          f"in {out}")
+    return 0
+
+
+def cmd_recover(args):
+    from . import decode as dec
+    from . import rs
+    src = pathlib.Path(args.dir)
+    man = json.loads((src / "manifest.json").read_text())
+    field = _field(man["field"])
+    n, k, size = man["n"], man["k"], man["size"]
+    survivors = {}
+    for f in sorted(src.glob("block_*.dat")):
+        survivors[int(f.stem.split("_")[1])] = f.read_bytes()
+    for f in sorted(src.glob("block_*.par")):
+        survivors[int(f.stem.split("_")[1])] = f.read_bytes()
+    lost = n - len(survivors)
+    print(f"{len(survivors)}/{n} blocks present ({lost} lost); "
+          f"need any {k}")
+    data = dec.decode_blocks(survivors, n, k, field)
+    out = pathlib.Path(args.out)
+    out.write_bytes(data.reshape(-1)[:size].tobytes())
+    print(f"recovered {man['file']} -> {out} ({size} bytes)")
+    return 0
+
+
+def cmd_scaling(args):
+    """Weak-scaling sweep over mesh sizes (emits BASELINE.md-style rows).
+
+    On a machine without a pod this exercises the sharded path on virtual
+    CPU devices (structural check, not a perf number); on a real slice the
+    same command measures true ICI scaling ([BASELINE] config :11)."""
+    import os
+    import jax
+    if jax.local_device_count() < args.devices:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                   f" --xla_force_host_platform_device_count"
+                                   f"={args.devices}").strip()
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    import jax.numpy as jnp
+    from . import rs
+    from .parallel import make_mesh
+    from .parallel.ntt_dist import encode_parity_sharded_jit
+    from .utils.timer import time_fn
+    field = _field(args.field)
+    k = 1 << args.lg_k
+    rows = []
+    d = 1
+    base = None
+    while d <= args.devices:
+        mesh = make_mesh(d, 1)
+        lanes = args.lanes * d                     # weak scaling: grow work
+        x = jnp.asarray(_rand(field, (k, lanes)))
+        fn = lambda v: encode_parity_sharded_jit(v, field, mesh, 2 * k)
+        secs = time_fn(fn, x, iters=args.iters)
+        gbps = 2 * k * lanes * 4 / secs / 1e9
+        eff = 1.0 if base is None else gbps / (base * d)
+        base = base or gbps
+        rows.append({"devices": d, "lanes": lanes,
+                     "seconds": round(secs, 4),
+                     "gb_per_sec": round(gbps, 2),
+                     "weak_scaling_eff": round(eff, 3)})
+        print(json.dumps(rows[-1]))
+        d *= 2
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="fastecc_tpu",
+        description="TPU-native O(N log N) Reed-Solomon erasure coding")
+    ap.add_argument("--field", default="GF32", choices=["GF32", "GF16",
+                                                        "gf32", "gf16"])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("verify", help="fast NTT vs naive DFT oracle")
+    p.add_argument("--lg-n", type=int, default=8)
+    p.add_argument("--lanes", type=int, default=4)
+    p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("roundtrip", help="intt(ntt(x)) == x at scale")
+    p.add_argument("--lg-n", type=int, default=16)
+    p.add_argument("--lanes", type=int, default=4)
+    p.set_defaults(fn=cmd_roundtrip)
+
+    p = sub.add_parser("gf-bench", help="mulmod microbenchmark")
+    p.add_argument("--lg-size", type=int, default=24)
+    p.add_argument("--iters", type=int, default=3)
+    p.set_defaults(fn=cmd_gf_bench)
+
+    p = sub.add_parser("ntt-bench", help="NTT throughput")
+    p.add_argument("--lg-n", type=int, default=20)
+    p.add_argument("--lanes", type=int, default=512)
+    p.add_argument("--inverse", action="store_true")
+    p.add_argument("--iters", type=int, default=3)
+    p.set_defaults(fn=cmd_ntt_bench)
+
+    p = sub.add_parser("rs-bench", help="RS encode throughput")
+    p.add_argument("--lg-k", type=int, default=19)
+    p.add_argument("--lanes", type=int, default=1024)
+    p.add_argument("--iters", type=int, default=3)
+    p.set_defaults(fn=cmd_rs_bench)
+
+    p = sub.add_parser("encode", help="encode a file into data+parity blocks")
+    p.add_argument("file")
+    p.add_argument("-o", "--out", required=True, help="output directory")
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("recover", help="recover a file from survivors")
+    p.add_argument("dir")
+    p.add_argument("-o", "--out", required=True, help="recovered file path")
+    p.set_defaults(fn=cmd_recover)
+
+    p = sub.add_parser("scaling", help="weak-scaling sweep over mesh sizes")
+    p.add_argument("--devices", type=int, default=8)
+    p.add_argument("--lg-k", type=int, default=10)
+    p.add_argument("--lanes", type=int, default=8)
+    p.add_argument("--iters", type=int, default=2)
+    p.set_defaults(fn=cmd_scaling)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

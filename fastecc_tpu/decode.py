@@ -207,7 +207,9 @@ def decode_blocks(survivors: dict, n: int, k: int, field: FieldSpec):
 
     erased = np.nonzero(~present)[0]
     if erased.size:
-        full = decode_jit(jnp.asarray(cw), jnp.asarray(erased), field)
+        from .rs import _pad_lanes
+        padded, real_lanes = _pad_lanes(jnp.asarray(cw))
+        full = decode_jit(padded, jnp.asarray(erased), field)[:, :real_lanes]
     else:
         full = jnp.asarray(cw)
     data_rows = full[data_positions(n, k)]

@@ -127,10 +127,22 @@ encode_parity_jit = jax.jit(
 # Block-level (wire format) API: raw 4KB data blocks in, parity bytes out.
 # ---------------------------------------------------------------------------
 
+def _pad_lanes(x):
+    """Zero-pad the lane axis to a multiple of 128 on TPU so the fused
+    Pallas kernels apply (lanes are independent codewords; padding cannot
+    change real lanes). Returns (padded, original_lane_count)."""
+    lanes = x.shape[1]
+    if jax.default_backend() != "tpu" or lanes % 128 == 0:
+        return x, lanes
+    pad = 128 - lanes % 128
+    return jnp.pad(x, ((0, 0), (0, pad))), lanes
+
+
 def encode_blocks(raw_data, field: FieldSpec, n: int | None = None):
     """[k, 4096] uint8 data blocks -> [n-k, 4352] uint8 parity blocks."""
     fields = packing.pack_data(raw_data, field)
-    parity = encode_parity(fields, field, n)
+    padded, lanes = _pad_lanes(fields)
+    parity = encode_parity(padded, field, n)[:, :lanes]
     return packing.serialize_parity(parity, field)
 
 
