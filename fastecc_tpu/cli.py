@@ -145,7 +145,7 @@ def _file_blocks(path: pathlib.Path):
 
 def cmd_encode(args):
     import jax.numpy as jnp
-    from . import rs
+    from . import host, rs
     field = _field(args.field)
     src = pathlib.Path(args.file)
     out = pathlib.Path(args.out)
@@ -154,6 +154,13 @@ def cmd_encode(args):
     n = 2 * k
     parity = np.asarray(rs.encode_blocks_jit(jnp.asarray(blocks), field, n))
     dpos, ppos = rs.data_positions(n, k), rs.parity_positions(n, k)
+    # per-block CRC32C integrity tags (native module; recover uses them to
+    # demote silently-corrupted blocks to erasures)
+    tags = {}
+    if host.available() or host.build():
+        for i in range(k):
+            tags[int(dpos[i])] = int(host.crc32c_blocks(blocks[i:i+1])[0])
+            tags[int(ppos[i])] = int(host.crc32c_blocks(parity[i:i+1])[0])
     for i in range(k):
         (out / f"block_{int(dpos[i]):06d}.dat").write_bytes(
             blocks[i].tobytes())
@@ -161,7 +168,8 @@ def cmd_encode(args):
             parity[i].tobytes())
     (out / "manifest.json").write_text(json.dumps({
         "file": src.name, "size": size, "k": k, "n": n,
-        "field": field.name, "format": "fastecc-tpu-v1"}))
+        "field": field.name, "format": "fastecc-tpu-v1",
+        "crc32c": {str(p): t for p, t in tags.items()} or None}))
     print(f"encoded {src} ({size} bytes) -> {k} data + {k} parity blocks "
           f"in {out}")
     return 0
@@ -175,10 +183,17 @@ def cmd_recover(args):
     field = _field(man["field"])
     n, k, size = man["n"], man["k"], man["size"]
     survivors = {}
-    for f in sorted(src.glob("block_*.dat")):
+    for f in sorted(src.glob("block_*.dat")) + sorted(src.glob("block_*.par")):
         survivors[int(f.stem.split("_")[1])] = f.read_bytes()
-    for f in sorted(src.glob("block_*.par")):
-        survivors[int(f.stem.split("_")[1])] = f.read_bytes()
+    tags = man.get("crc32c") or {}
+    if tags:
+        from . import host
+        if host.available() or host.build():
+            corrupt = [p for p, blob in survivors.items()
+                       if str(p) in tags and host.crc32c(blob) != tags[str(p)]]
+            for p in corrupt:
+                print(f"block {p}: CRC mismatch — treating as erased")
+                del survivors[p]
     lost = n - len(survivors)
     print(f"{len(survivors)}/{n} blocks present ({lost} lost); "
           f"need any {k}")

@@ -188,22 +188,37 @@ def decode_blocks(survivors: dict, n: int, k: int, field: FieldSpec):
     """
     assert len(survivors) >= k, (
         f"unrecoverable: {len(survivors)} survivors < k={k}")
+    from . import host
     lanes = packing.field_lanes(field)
     dpos = set(data_positions(n, k).tolist())
     cw = np.zeros((n, lanes), dtype=np.uint32)
     present = np.zeros(n, dtype=bool)
+
+    d_items, p_items = [], []
     for pos, blob in survivors.items():
         raw = np.frombuffer(bytes(blob), dtype=np.uint8)
         if pos in dpos:
             assert raw.size == packing.BLOCK_BYTES, f"bad data block @ {pos}"
-            cw[pos] = np.asarray(
-                packing.pack_data(jnp.asarray(raw[None]), field))[0]
+            d_items.append((pos, raw))
         else:
             assert raw.size == packing.parity_bytes(field), (
                 f"bad parity block @ {pos}")
-            cw[pos] = np.asarray(
-                packing.deserialize_parity(jnp.asarray(raw[None]), field))[0]
+            p_items.append((pos, raw))
         present[pos] = True
+
+    # batch (un)pack per kind: native OpenMP path if built, else one jnp call
+    native = host.available()
+    if d_items:
+        arr = np.stack([r for _, r in d_items])
+        packed = (host.pack_data(arr, field) if native else
+                  np.asarray(packing.pack_data(jnp.asarray(arr), field)))
+        cw[[p for p, _ in d_items]] = packed
+    if p_items:
+        arr = np.stack([r for _, r in p_items])
+        des = (host.deserialize_parity(arr, field) if native else
+               np.asarray(packing.deserialize_parity(jnp.asarray(arr),
+                                                     field)))
+        cw[[p for p, _ in p_items]] = des
 
     erased = np.nonzero(~present)[0]
     if erased.size:

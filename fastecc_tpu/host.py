@@ -1,0 +1,140 @@
+"""ctypes bindings for the native host data plane (native/fastecc_host.cpp).
+
+The device pipeline (JAX/Pallas) owns the field math; this module owns the
+host-bound wire-format work — batch packing/unpacking of block files and
+CRC32C integrity tags — as OpenMP-parallel C++ (SURVEY.md C13/C15: the
+reference's host-side packing and allocator layer, rebuilt for the split
+host/device architecture).
+
+Every function has a pure-numpy/jnp fallback (packing.py), and the
+equivalence is test-enforced; ``available()`` reports whether the native
+library is loaded. ``build()`` compiles it on demand with the in-image
+toolchain (g++, no external deps).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+import numpy as np
+
+from .fields import FieldSpec
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+_SO = _REPO / "build" / "libfastecc_host.so"
+_lib = None
+
+
+def build(quiet: bool = True) -> bool:
+    """Compile the native library in-tree. Returns True on success."""
+    try:
+        subprocess.run(["make", "-C", str(_REPO / "native")],
+                       check=True, capture_output=quiet)
+        return _load()
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load() -> bool:
+    global _lib
+    if _lib is not None:
+        return True
+    if not _SO.exists():
+        return False
+    lib = ctypes.CDLL(str(_SO))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64 = ctypes.c_int64
+    for name, args in [
+        ("pack_gf32", (u8p, i64, u32p)),
+        ("unpack_gf32", (u32p, i64, u8p)),
+        ("serialize_parity_gf32", (u32p, i64, u8p)),
+        ("deserialize_parity_gf32", (u8p, i64, u32p)),
+        ("pack_gf16", (u8p, i64, u32p)),
+        ("unpack_gf16", (u32p, i64, u8p)),
+        ("serialize_parity_gf16", (u32p, i64, u8p)),
+        ("deserialize_parity_gf16", (u8p, i64, u32p)),
+        ("crc32c_blocks", (u8p, i64, i64, u32p)),
+    ]:
+        fn = getattr(lib, name)
+        fn.argtypes = list(args)
+        fn.restype = None
+    lib.crc32c.argtypes = [u8p, i64]
+    lib.crc32c.restype = ctypes.c_uint32
+    _lib = lib
+    return True
+
+
+def available() -> bool:
+    return _load()
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _u32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _suffix(field: FieldSpec) -> str:
+    return "gf32" if field.use_mont else "gf16"
+
+
+def pack_data(raw: np.ndarray, field: FieldSpec) -> np.ndarray:
+    """[k, 4096] uint8 -> [k, lanes] uint32 (native batch pack)."""
+    assert _load(), "native library not built (fastecc_tpu.host.build())"
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    k = raw.shape[0]
+    lanes = 1088 if field.use_mont else 2048
+    out = np.empty((k, lanes), dtype=np.uint32)
+    getattr(_lib, f"pack_{_suffix(field)}")(_u8p(raw), k, _u32p(out))
+    return out
+
+
+def unpack_data(fields: np.ndarray, field: FieldSpec) -> np.ndarray:
+    assert _load()
+    fields = np.ascontiguousarray(fields, dtype=np.uint32)
+    k = fields.shape[0]
+    out = np.empty((k, 4096), dtype=np.uint8)
+    getattr(_lib, f"unpack_{_suffix(field)}")(_u32p(fields), k, _u8p(out))
+    return out
+
+
+def serialize_parity(fields: np.ndarray, field: FieldSpec) -> np.ndarray:
+    assert _load()
+    fields = np.ascontiguousarray(fields, dtype=np.uint32)
+    m = fields.shape[0]
+    out = np.empty((m, 4352), dtype=np.uint8)
+    getattr(_lib, f"serialize_parity_{_suffix(field)}")(
+        _u32p(fields), m, _u8p(out))
+    return out
+
+
+def deserialize_parity(raw: np.ndarray, field: FieldSpec) -> np.ndarray:
+    assert _load()
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    m = raw.shape[0]
+    lanes = 1088 if field.use_mont else 2048
+    out = np.empty((m, lanes), dtype=np.uint32)
+    getattr(_lib, f"deserialize_parity_{_suffix(field)}")(
+        _u8p(raw), m, _u32p(out))
+    return out
+
+
+def crc32c(data: bytes | np.ndarray) -> int:
+    assert _load()
+    a = np.frombuffer(bytes(data), dtype=np.uint8)
+    return int(_lib.crc32c(_u8p(a), a.size))
+
+
+def crc32c_blocks(blocks: np.ndarray) -> np.ndarray:
+    """Per-row CRC32C tags for a [k, block_bytes] uint8 array."""
+    assert _load()
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
+    tags = np.empty(blocks.shape[0], dtype=np.uint32)
+    _lib.crc32c_blocks(_u8p(blocks), blocks.shape[0], blocks.shape[1],
+                       _u32p(tags))
+    return tags

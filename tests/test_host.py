@@ -1,0 +1,67 @@
+"""Native C++ host data plane vs. the jnp reference (bit-exact contract).
+
+Builds build/libfastecc_host.so with the in-image toolchain if missing;
+skips (loudly) only if no compiler is available.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fastecc_tpu import host, packing
+from fastecc_tpu.fields import GF16, GF32
+
+pytestmark = pytest.mark.skipif(
+    not (host.available() or host.build()),
+    reason="native toolchain unavailable")
+
+RNG = np.random.default_rng(0x407)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_native_pack_matches_jnp(field):
+    raw = RNG.integers(0, 256, (64, 4096), dtype=np.uint16).astype(np.uint8)
+    raw[0, :] = 0xFF                       # escape-path stress
+    nat = host.pack_data(raw, field)
+    ref = np.asarray(packing.pack_data(jnp.asarray(raw), field))
+    np.testing.assert_array_equal(nat, ref)
+    np.testing.assert_array_equal(host.unpack_data(nat, field), raw)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_native_parity_serialization_matches_jnp(field):
+    lanes = packing.field_lanes(field)
+    vals = RNG.integers(0, field.p, (16, lanes), dtype=np.uint64).astype(
+        np.uint32)
+    if not field.use_mont:
+        vals[0, :7] = 0x10000
+    nat = host.serialize_parity(vals, field)
+    ref = np.asarray(packing.serialize_parity(jnp.asarray(vals), field))
+    np.testing.assert_array_equal(nat, ref)
+    np.testing.assert_array_equal(host.deserialize_parity(nat, field), vals)
+
+
+def test_crc32c_known_answer():
+    # RFC 3720 test vector: crc32c("123456789") = 0xE3069283
+    assert host.crc32c(b"123456789") == 0xE3069283
+    blocks = np.frombuffer(b"123456789" * 512, np.uint8)[:4096][None]
+    assert host.crc32c_blocks(np.ascontiguousarray(blocks))[0] == \
+        host.crc32c(blocks[0].tobytes())
+
+
+def test_decode_blocks_uses_native(monkeypatch):
+    """decode_blocks must give identical results with and without the
+    native batch path."""
+    import jax.numpy as jnp2
+    from fastecc_tpu import decode as dec, rs
+    field, k, n = GF32, 8, 16
+    raw = RNG.integers(0, 256, (k, 4096), dtype=np.uint16).astype(np.uint8)
+    parity = np.asarray(rs.encode_blocks_jit(jnp2.asarray(raw), field))
+    ppos = rs.parity_positions(n, k)
+    surv = {int(ppos[i]): parity[i].tobytes() for i in range(k)}
+    with_native = dec.decode_blocks(surv, n, k, field)
+    monkeypatch.setattr(host, "available", lambda: False)
+    without = dec.decode_blocks(surv, n, k, field)
+    np.testing.assert_array_equal(with_native, without)
+    np.testing.assert_array_equal(with_native, raw)
