@@ -99,13 +99,26 @@ def mont_mul(field: FieldSpec, a, b):
 
     If b is a Montgomery-scaled constant (b = c * R mod p), the result is
     a * c mod p in normal domain — the hot-path butterfly form.
+
+    For the codec prime p = 0xFFF00001 = 2^32 - 2^20 + 1 (Solinas-
+    structured, and n' = -p^-1 mod 2^32 = p - 2), both REDC multiplies
+    collapse to shift/add chains, cutting the hardware multiply count from
+    9 to 4 per mulmod (the VPU is the bottleneck, not HBM):
+      m     = lo * n' mod 2^32 = -(lo + (lo << 20))          [n' = p - 2]
+      m * p = (m - (m >> 12)) * 2^32 + (m - ((m & 0xFFF) << 20))
+    so (m*p) >> 32 = m - (m >> 12) - [m < ((m & 0xFFF) << 20)].
+    Bit-identical to the generic path (test-enforced).
     """
     assert field.use_mont
     p = _U32(field.p)
-    np_ = _U32(field.n_prime)
     hi, lo = _mul_wide(a, b)
-    m = lo * np_  # native low-32 multiply
-    mp_hi, mp_lo = _mul_wide(m, p)
+    if field.p == 0xFFF00001:
+        m = _U32(0) - (lo + (lo << _U32(20)))        # wraps mod 2^32
+        s20 = (m & _U32(0xFFF)) << _U32(20)
+        mp_hi = m - (m >> _U32(12)) - (m < s20).astype(jnp.uint32)
+    else:
+        m = lo * _U32(field.n_prime)  # native low-32 multiply
+        mp_hi, _ = _mul_wide(m, p)
     # t + m*p has zero low word; carry out of the low word is 1 iff lo != 0
     # (mp_lo == 2^32 - lo when lo > 0, else 0).
     carry = (lo != 0).astype(jnp.uint32)
