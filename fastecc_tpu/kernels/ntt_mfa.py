@@ -62,6 +62,28 @@ def _packed_stage_twiddles(field_name: str, c: int, inverse: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _packed_w3_twiddles(field_name: str, c: int, inverse: bool):
+    """Radix-4 side table: w_a^(3j), j in [0, a/4), packed at the same
+    offsets as the radix-2 stage tables (each a/2-slot region holds the
+    a/4 w3 values zero-padded, so one offset bookkeeping serves both).
+    The other radix-4 operands come from the radix-2 tables: w_a^j is the
+    first half of stage a's table, w_a^(2j) is stage a/2's table, and
+    i4 = w_a^(a/4) is entry a/4 of stage a's table."""
+    from ..ntt import _r4_twiddles
+    parts = []
+    a = c
+    while a >= 2:
+        q = a // 4
+        row = np.zeros(a // 2, np.uint32)
+        if q >= 1:
+            row[:q] = _r4_twiddles(field_name, a, inverse)[3]
+        parts.append(row)
+        a >>= 1
+    parts.append(np.zeros(1, np.uint32))
+    return np.concatenate(parts)
+
+
+@functools.lru_cache(maxsize=None)
 def _colpass_seeds(field_name: str, n: int, c: int, inverse: bool,
                    scale: bool, tr: int):
     """Host-side O(sqrt N) twiddle seeds for pass A.
@@ -88,53 +110,97 @@ def _colpass_seeds(field_name: str, n: int, c: int, inverse: bool,
             np.asarray(prepare_consts(field, t0)))
 
 
-def _ntt_stages(y, field: FieldSpec, tw_ref, c: int):
+def _ntt_stages(y, field: FieldSpec, tw_ref, c: int, w3_ref=None):
     """Fused Stockham stages along axis 0 of y [c, TR, TL] (in VMEM).
 
     tw_ref: [c, 1] packed prepared stage twiddles (2D: Mosaic supports
-    sublane-sliced 2D vectors; 1D reshapes are rejected).
+    sublane-sliced 2D vectors; 1D reshapes are rejected). When ``w3_ref``
+    (the packed w^3j side table) is given, stage pairs are merged into
+    radix-4 butterflies while q = a/4 >= 8 keeps slices sublane-aligned —
+    same mulmod count, half the inter-stage interleave relayouts.
     """
     t = _log2(c)
     y = y.reshape((c, 1, _TR, _TL))
     off = 0
-    for s in range(t):
+    s = 0
+    if w3_ref is not None and t % 2 == 1 and c >= 32:
+        y, off = _stage_r2_vmem(y, field, tw_ref, c, s, off)
+        s += 1
+    while s < t:
         a = c >> s
-        half = a >> 1
-        lo, hi = y[:half], y[half:]
-        even = gf.add(field, lo, hi)
-        diff = gf.sub(field, lo, hi)
-        if a == 2:
-            odd = diff          # w_2^0 = 1: the multiply is the identity
-        elif half >= 8:
-            # sublane-aligned vector slice broadcasts cleanly
-            tw = tw_ref[off:off + half][:, None, :, None]
-            odd = mul_prepared(field, diff, tw)
+        if w3_ref is not None and s + 1 < t and a >= 32:
+            y, off = _stage_r4_vmem(y, field, tw_ref, w3_ref, c, s, off)
+            s += 2
         else:
-            # sub-tile slices can't splat across sublanes+lanes in Mosaic:
-            # extract the (at most 4) twiddles as scalars
-            parts = [mul_prepared(field, diff[j], tw_ref[off + j, 0])
-                     for j in range(half)]
-            odd = jnp.stack(parts, axis=0)
-        off += half
-        y = jnp.stack([even, odd], axis=1).reshape(
-            (half, 2 * y.shape[1], _TR, _TL))
+            y, off = _stage_r2_vmem(y, field, tw_ref, c, s, off)
+            s += 1
     return y.reshape((c, _TR, _TL))
 
 
-def _col_kernel(tw_ref, seed_ref, t0_ref, x_ref, out_ref, *,
-                field: FieldSpec, c: int):
-    y = _ntt_stages(x_ref[:], field, tw_ref[:], c)      # [C, TR, TL]
+def _stage_r2_vmem(y, field: FieldSpec, tw_ref, c: int, s: int, off: int):
+    """One radix-2 stage; returns (y, next packed-table offset)."""
+    a = c >> s
+    half = a >> 1
+    lo, hi = y[:half], y[half:]
+    even = gf.add(field, lo, hi)
+    diff = gf.sub(field, lo, hi)
+    if a == 2:
+        odd = diff          # w_2^0 = 1: the multiply is the identity
+    elif half >= 8:
+        # sublane-aligned vector slice broadcasts cleanly
+        tw = tw_ref[off:off + half][:, None, :, None]
+        odd = mul_prepared(field, diff, tw)
+    else:
+        # sub-tile slices can't splat across sublanes+lanes in Mosaic:
+        # extract the (at most 4) twiddles as scalars
+        parts = [mul_prepared(field, diff[j], tw_ref[off + j, 0])
+                 for j in range(half)]
+        odd = jnp.stack(parts, axis=0)
+    y = jnp.stack([even, odd], axis=1).reshape(
+        (half, 2 * y.shape[1], _TR, _TL))
+    return y, off + half
+
+
+def _stage_r4_vmem(y, field: FieldSpec, tw_ref, w3_ref, c: int, s: int,
+                   off: int):
+    """Two radix-2 stages fused into one radix-4 butterfly (bit-exact;
+    slot order (stage2_bit, stage1_bit) — see ntt._stage_r4). Requires
+    q = a/4 >= 8 for aligned slices. Consumes both stages' table regions."""
+    a = c >> s
+    q = a >> 2
+    w1 = tw_ref[off:off + q][:, None, :, None]            # w_a^j
+    i4 = tw_ref[off + q, 0]                               # w_a^(a/4)
+    w2 = tw_ref[off + 2 * q:off + 3 * q][:, None, :, None]  # stage-a/2 tbl
+    w3 = w3_ref[off:off + q][:, None, :, None]            # w_a^(3j)
+    q0, q1, q2, q3 = y[:q], y[q:2 * q], y[2 * q:3 * q], y[3 * q:]
+    s0, s1 = gf.add(field, q0, q2), gf.add(field, q1, q3)
+    d0 = gf.sub(field, q0, q2)
+    d1 = mul_prepared(field, gf.sub(field, q1, q3), i4)
+    o00 = gf.add(field, s0, s1)
+    o10 = mul_prepared(field, gf.sub(field, s0, s1), w2)
+    o01 = mul_prepared(field, gf.add(field, d0, d1), w1)
+    o11 = mul_prepared(field, gf.sub(field, d0, d1), w3)
+    y = jnp.stack([o00, o01, o10, o11], axis=1).reshape(
+        (q, 4 * y.shape[1], _TR, _TL))
+    return y, off + 3 * q
+
+
+def _col_kernel(tw_ref, w3_ref, seed_ref, t0_ref, x_ref, out_ref, *,
+                field: FieldSpec, c: int, radix: int):
+    y = _ntt_stages(x_ref[:], field, tw_ref[:], c,
+                    w3_ref[:] if radix == 4 else None)   # [C, TR, TL]
     _col_epilogue(tw_ref, seed_ref, t0_ref, y, out_ref, field)
 
 
-def _col_kernel_pre(tw_ref, seed_ref, t0_ref, pcol_ref, prow_ref, x_ref,
-                    out_ref, *, field: FieldSpec, c: int):
+def _col_kernel_pre(tw_ref, w3_ref, seed_ref, t0_ref, pcol_ref, prow_ref,
+                    x_ref, out_ref, *, field: FieldSpec, c: int, radix: int):
     """Pass A with a fused rank-1 input multiply x[m] *= g^m, where
     m = r + R*c decomposes g^m = pcol[c] * prow[r] (the RS coset twiddle:
     one in-kernel mult instead of a whole extra HBM pass)."""
     pre = mul_prepared(field, pcol_ref[:], prow_ref[0])  # [C,1]x[1,TR]->[C,TR]
     x = mul_prepared(field, x_ref[:], pre[:, :, None])
-    y = _ntt_stages(x, field, tw_ref[:], c)
+    y = _ntt_stages(x, field, tw_ref[:], c,
+                    w3_ref[:] if radix == 4 else None)
     _col_epilogue(tw_ref, seed_ref, t0_ref, y, out_ref, field)
 
 
@@ -152,8 +218,10 @@ def _col_epilogue(tw_ref, seed_ref, t0_ref, y, out_ref, field: FieldSpec):
     out_ref[:] = jnp.transpose(y, (1, 0, 2))             # [TR, C, TL]
 
 
-def _row_kernel(tw_ref, y_ref, out_ref, *, field: FieldSpec, r: int):
-    out_ref[:] = _ntt_stages(y_ref[:], field, tw_ref[:], r)
+def _row_kernel(tw_ref, w3_ref, y_ref, out_ref, *, field: FieldSpec, r: int,
+                radix: int):
+    out_ref[:] = _ntt_stages(y_ref[:], field, tw_ref[:], r,
+                             w3_ref[:] if radix == 4 else None)
 
 
 def _supported(n: int, lanes: int) -> bool:
@@ -177,14 +245,16 @@ def _pre_mul_tables(field_name: str, g_pre: int, c: int, r: int, tr: int):
 
 def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
                scale: bool = True, pre_seed: int | None = None,
-               interpret: bool = False):
+               interpret: bool = False, radix: int = 4):
     """Two-pass fused NTT along axis 0 of [N, L]; bit-exact vs ntt.ntt.
 
     ``pre_seed=g`` fuses an input-side multiply x[m] *= g^m into pass A
     (the RS coset twiddle — rs.encode uses it to evaluate parity cosets
     with zero extra HBM passes). Requires N >= 2^7-ish (R >= 8) and
     L % 128 == 0; callers fall back to the staged jnp path otherwise.
+    ``radix=4`` merges butterfly-stage pairs in VMEM (bit-exact).
     """
+    assert radix in (2, 4)
     n, lanes = x.shape
     t = _log2(n)
     c = 1 << ((t + 1) // 2)
@@ -194,6 +264,8 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
 
     tw_c = jnp.asarray(_packed_stage_twiddles(field.name, c, inverse))[:, None]
     tw_r = jnp.asarray(_packed_stage_twiddles(field.name, r, inverse))[:, None]
+    w3_c = jnp.asarray(_packed_w3_twiddles(field.name, c, inverse))[:, None]
+    w3_r = jnp.asarray(_packed_w3_twiddles(field.name, r, inverse))[:, None]
     seed, t0 = _colpass_seeds(field.name, n, c, inverse, scale, _TR)
     seed = jnp.asarray(seed)[:, None]
     t0 = jnp.asarray(t0).reshape(r // _TR, c, 1)
@@ -201,23 +273,26 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
     vec_specs = [
         pl.BlockSpec((c, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((c, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c, 1), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if pre_seed is None:
-        kernel_a = functools.partial(_col_kernel, field=field, c=c)
-        a_specs, a_args = vec_specs, (tw_c, seed, t0)
+        kernel_a = functools.partial(_col_kernel, field=field, c=c,
+                                     radix=radix)
+        a_specs, a_args = vec_specs, (tw_c, w3_c, seed, t0)
     else:
         pcol, prow = _pre_mul_tables(field.name, pre_seed % field.p, c, r,
                                      _TR)
-        kernel_a = functools.partial(_col_kernel_pre, field=field, c=c)
+        kernel_a = functools.partial(_col_kernel_pre, field=field, c=c,
+                                     radix=radix)
         a_specs = vec_specs + [
             pl.BlockSpec((c, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _TR), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        a_args = (tw_c, seed, t0, jnp.asarray(pcol)[:, None],
+        a_args = (tw_c, w3_c, seed, t0, jnp.asarray(pcol)[:, None],
                   jnp.asarray(prow))
 
     x3 = x.reshape(c, r, lanes)
@@ -237,9 +312,11 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
     )(*a_args, x3)
 
     row = pl.pallas_call(
-        functools.partial(_row_kernel, field=field, r=r),
+        functools.partial(_row_kernel, field=field, r=r, radix=radix),
         grid=(c // _TR, lanes // _TL),
         in_specs=[
+            pl.BlockSpec((r, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((r, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, _TR, _TL), lambda i, j: (0, i, j),
@@ -251,7 +328,7 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(tw_r, col)
+    )(tw_r, w3_r, col)
 
     # k = k_c + C*k_r with k_r-major rows: row is already natural order.
     return row.reshape(n, lanes)
@@ -259,4 +336,5 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
 
 ntt_pallas_jit = jax.jit(
     ntt_pallas,
-    static_argnames=("field", "inverse", "scale", "pre_seed", "interpret"))
+    static_argnames=("field", "inverse", "scale", "pre_seed", "interpret",
+                     "radix"))

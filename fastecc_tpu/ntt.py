@@ -113,7 +113,8 @@ def _four_step_twiddles(field_name: str, n: int, c: int, inverse: bool):
 # Stockham autosort NTT (C8 replacement).
 # ---------------------------------------------------------------------------
 
-def ntt(x, field: FieldSpec, inverse: bool = False, scale: bool = True):
+def ntt(x, field: FieldSpec, inverse: bool = False, scale: bool = True,
+        radix: int = 2):
     """Length-N NTT along axis 0; natural order in and out.
 
     Stockham DIF: each stage splits every pending sub-transform into
@@ -122,29 +123,97 @@ def ntt(x, field: FieldSpec, inverse: bool = False, scale: bool = True):
     log2(N) stages the completed axis reads as the natural output index
     (no bit-reversal pass). ``scale`` controls the final N^-1 multiply of
     the inverse (disabled when a caller folds it elsewhere).
+
+    ``radix=4`` merges stage pairs into radix-4 butterflies (same GF mulmod
+    count — the 4th root of unity is not free in GF(p), unlike complex i —
+    but half the inter-stage interleaves; a leading radix-2 stage handles
+    odd log2(N)). Bit-exact equal to the radix-2 path.
     """
+    assert radix in (2, 4)
     n = x.shape[0]
     t = _log2(n)
     rest = x.shape[1:]
     if t == 0:
         return x
     y = x.reshape((n, 1) + rest)
-    for s in range(t):
-        a = n >> s           # current sub-transform length
-        half = a >> 1
-        tw = jnp.asarray(_stage_twiddles(field.name, a, inverse))
-        tw = tw.reshape((half, 1) + (1,) * len(rest))
-        lo = y[:half]
-        hi = y[half:]
-        even = gf.add(field, lo, hi)
-        odd = mul_prepared(field, gf.sub(field, lo, hi), tw)
-        # prepend the new output bit to the completed axis -> natural order
-        y = jnp.stack([even, odd], axis=1).reshape(
-            (half, 2 * y.shape[1]) + rest)
+    s = 0
+    if radix == 4 and t % 2 == 1:
+        y = _stage_r2(y, field, n, 0, inverse, rest)
+        s = 1
+    while s < t:
+        if radix == 4 and s + 1 < t:
+            y = _stage_r4(y, field, n, s, inverse, rest)
+            s += 2
+        else:
+            y = _stage_r2(y, field, n, s, inverse, rest)
+            s += 1
     out = y.reshape((n,) + rest)
     if inverse and scale:
         out = gf.mul_const(field, out, field.inv_host(n))
     return out
+
+
+def _stage_r2(y, field: FieldSpec, n: int, s: int, inverse: bool, rest):
+    """One radix-2 Stockham DIF stage on y [half*2, done, *rest]."""
+    a = n >> s           # current sub-transform length
+    half = a >> 1
+    tw = jnp.asarray(_stage_twiddles(field.name, a, inverse))
+    tw = tw.reshape((half, 1) + (1,) * len(rest))
+    lo = y[:half]
+    hi = y[half:]
+    even = gf.add(field, lo, hi)
+    odd = mul_prepared(field, gf.sub(field, lo, hi), tw)
+    # prepend the new output bit to the completed axis -> natural order
+    return jnp.stack([even, odd], axis=1).reshape(
+        (half, 2 * y.shape[1]) + rest)
+
+
+def _stage_r4(y, field: FieldSpec, n: int, s: int, inverse: bool, rest):
+    """One radix-4 Stockham DIF stage == two fused radix-2 stages.
+
+    With quarters q0..q3 of each size-a sub-transform, j in [0, a/4),
+    w = w_a, and i4 = w_a^(a/4) (the 4th root of unity on this path),
+    the two fused radix-2 stages produce (in two-stage interleave order —
+    the done-axis bits read (stage2_bit, stage1_bit)):
+      slot (0,0): (q0+q2) + (q1+q3)
+      slot (0,1): ((q0-q2) + i4*(q1-q3)) * w^j
+      slot (1,0): ((q0+q2) - (q1+q3)) * w^(2j)
+      slot (1,1): ((q0-q2) - i4*(q1-q3)) * w^(3j)
+    Bit-exact equal to running stages s and s+1 of the radix-2 path, at
+    half the inter-stage relayouts.
+    """
+    a = n >> s
+    q = a >> 2
+    w1, i4, w2, w3 = (jnp.asarray(v).reshape((q, 1) + (1,) * len(rest))
+                      for v in _r4_twiddles(field.name, a, inverse))
+    q0, q1, q2, q3 = y[:q], y[q:2 * q], y[2 * q:3 * q], y[3 * q:]
+    s0, s1 = gf.add(field, q0, q2), gf.add(field, q1, q3)
+    d0 = gf.sub(field, q0, q2)
+    d1 = mul_prepared(field, gf.sub(field, q1, q3), i4)
+    o00 = gf.add(field, s0, s1)
+    o10 = mul_prepared(field, gf.sub(field, s0, s1), w2)
+    o01 = mul_prepared(field, gf.add(field, d0, d1), w1)
+    o11 = mul_prepared(field, gf.sub(field, d0, d1), w3)
+    return jnp.stack([o00, o01, o10, o11], axis=1).reshape(
+        (q, 4 * y.shape[1]) + rest)
+
+
+@functools.lru_cache(maxsize=None)
+def _r4_twiddles(field_name: str, a: int, inverse: bool):
+    """Prepared (w^j, i4 broadcast, w^2j, w^3j) tables for a radix-4 stage
+    of size a, j in [0, a/4); i4 = w^(a/4) is premultiplied into no table
+    (it scales the q1-q3 difference once)."""
+    field = FIELDS[field_name]
+    w = field.root_of_order(a)
+    if inverse:
+        w = field.inv_host(w)
+    q = a // 4
+    w1 = powers_host(field, w, q)
+    i4 = np.full(q, field.pow_host(w, q), dtype=np.uint32)
+    w2 = powers_host(field, field.pow_host(w, 2), q)
+    w3 = powers_host(field, field.pow_host(w, 3), q)
+    return tuple(np.asarray(prepare_consts(field, v))
+                 for v in (w1, i4, w2, w3))
 
 
 def intt(x, field: FieldSpec, scale: bool = True):

@@ -65,6 +65,18 @@ def test_four_step_matches_stockham(field, n, c):
     np.testing.assert_array_equal(mfai, basei)
 
 
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("n", [2, 4, 8, 16, 64, 512, 1 << 10])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_radix4_matches_radix2(field, n, inverse):
+    """Radix-4 merged stages must be bit-exact vs the radix-2 path
+    (SURVEY.md C8: the reference's radix-2/radix-4 decimation variants)."""
+    x = jnp.asarray(rand_field(field, (n, 2)))
+    want = np.asarray(nttmod.ntt(x, field, inverse=inverse))
+    got = np.asarray(nttmod.ntt(x, field, inverse=inverse, radix=4))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_ntt_linearity_and_impulse():
     """DFT of a delta at position j is the j-th twiddle row (spec anchor)."""
     field = GF32

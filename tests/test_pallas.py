@@ -26,10 +26,12 @@ def rand_field(field, shape):
 @pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
 @pytest.mark.parametrize("n", [1 << 7, 1 << 9, 1 << 10])
 @pytest.mark.parametrize("inverse", [False, True])
-def test_pallas_matches_stockham(field, n, inverse):
+@pytest.mark.parametrize("radix", [2, 4])
+def test_pallas_matches_stockham(field, n, inverse, radix):
     x = jnp.asarray(rand_field(field, (n, 128)))
     want = np.asarray(ntt(x, field, inverse=inverse))
-    got = np.asarray(ntt_pallas(x, field, inverse=inverse, interpret=True))
+    got = np.asarray(ntt_pallas(x, field, inverse=inverse, interpret=True,
+                                radix=radix))
     np.testing.assert_array_equal(got, want)
 
 
