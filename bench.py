@@ -45,6 +45,40 @@ def run(lg_k: int, lanes: int, iters: int, lane_chunks: int):
     return secs, total_bytes, k, n
 
 
+def run_decode_metric(iters: int):
+    """Secondary: erasure-decode GB/s at n=2^20, e=2^19 erased, 512 lanes.
+
+    Steady-state device throughput (the host-built locator tables are
+    constructed once per erasure pattern and reused; their one-time cost
+    is reported separately as decode_locator_host_seconds)."""
+    import time
+
+    import numpy as np
+
+    from fastecc_tpu import decode as dec
+    from fastecc_tpu import rs
+    from fastecc_tpu.ntt import prepare_consts
+
+    n, e, lanes = 1 << 20, 1 << 19, 512
+    data = make_data(n // 2, lanes)
+    cw = jax.block_until_ready(rs.encode_jit(data, GF32, n))
+    del data
+    rng = np.random.default_rng(1)
+    erased = np.sort(rng.choice(n, size=e, replace=False))
+    t0 = time.perf_counter()
+    l_eval, lp_inv = dec.locator_host(erased, n, GF32)
+    loc_secs = time.perf_counter() - t0
+    mask = np.zeros(n, np.uint32)
+    mask[erased] = 1
+    args = (cw, jnp.asarray(mask),
+            jnp.asarray(np.asarray(prepare_consts(GF32, l_eval))),
+            jnp.asarray(np.asarray(prepare_consts(GF32, lp_inv))))
+    secs = time_fn(lambda *a: dec.decode_prepared_jit(*a, GF32), *args,
+                   iters=iters)
+    del cw, args
+    return secs, n * lanes * 4 / secs / 1e9, loc_secs
+
+
 def run_ntt_metric(iters: int):
     """Secondary headline: 2^20-point GF(p) NTT wall time (BASELINE.json:2).
 
@@ -97,6 +131,14 @@ def main():
         ntt_secs = round(run_ntt_metric(args.iters), 4)
     except Exception:  # noqa: BLE001 - secondary metric is best-effort
         ntt_secs = None
+    jax.clear_caches()
+    gc.collect()
+    try:
+        dec_secs, dec_gbps, loc_secs = run_decode_metric(max(2, args.iters))
+        dec_secs, dec_gbps = round(dec_secs, 4), round(dec_gbps, 2)
+        loc_secs = round(loc_secs, 2)
+    except Exception:  # noqa: BLE001 - secondary metric is best-effort
+        dec_secs = dec_gbps = loc_secs = None
 
     gbps = total_bytes / secs / 1e9
     print(json.dumps({
@@ -109,6 +151,9 @@ def main():
                    "seconds": round(secs, 4), "fallback": fallback,
                    "lane_chunks": chunks,
                    "ntt_2e20_x512lane_seconds": ntt_secs,
+                   "decode_2e20_e2e19_seconds": dec_secs,
+                   "decode_gb_per_sec": dec_gbps,
+                   "decode_locator_host_seconds": loc_secs,
                    "device": str(jax.devices()[0]).strip()},
     }))
 

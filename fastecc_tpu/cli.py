@@ -129,6 +129,41 @@ def cmd_rs_bench(args):
     return 0
 
 
+def cmd_decode_bench(args):
+    """Erasure-decode throughput: recover e erased rows of an [n, lanes]
+    codeword (acceptance config BASELINE.json:10 at --lg-n 13 --lg-e 12)."""
+    import jax, jax.numpy as jnp
+    from . import decode as dec
+    from . import rs
+    from .utils.timer import time_fn
+    field = _field(args.field)
+    n, e = 1 << args.lg_n, 1 << args.lg_e
+    assert e < n
+    k = n // 2
+    data = jnp.asarray(_rand(field, (k, args.lanes)))
+    cw = jax.block_until_ready(rs.encode_jit(data, field, n))
+    rng = np.random.default_rng(args.seed)
+    erased = np.sort(rng.choice(n, size=e, replace=False)).astype(np.uint32)
+    if args.device_locator:
+        fn = jax.jit(lambda c, idx: dec.decode(c, idx, field))
+        secs = time_fn(fn, cw, jnp.asarray(erased), iters=args.iters)
+        out = np.asarray(fn(cw, jnp.asarray(erased)))
+    else:
+        # product path: host-built locator tables + slim device program
+        fn = lambda c: dec.decode_host_prepared(c, erased, field)
+        secs = time_fn(fn, cw, iters=args.iters)
+        out = np.asarray(fn(cw))
+    ok = bool((out == np.asarray(cw)).all())  # erased rows were garbage-free
+    gb = n * args.lanes * 4 / 1e9
+    print(json.dumps({"op": "rs_decode", "field": field.name,
+                      "n": n, "erasures": e, "lanes": args.lanes,
+                      "locator": "device" if args.device_locator else "host",
+                      "seconds": round(secs, 4),
+                      "gb_per_sec": round(gb / secs, 2),
+                      "recovered_ok": ok}))
+    return 0 if ok else 1
+
+
 # ---------------------------------------------------------------------------
 # file-level encode / recover (the product path, end to end)
 # ---------------------------------------------------------------------------
@@ -283,6 +318,17 @@ def main(argv=None):
     p.add_argument("--lanes", type=int, default=1024)
     p.add_argument("--iters", type=int, default=3)
     p.set_defaults(fn=cmd_rs_bench)
+
+    p = sub.add_parser("decode-bench", help="erasure decode throughput")
+    p.add_argument("--lg-n", type=int, default=13)
+    p.add_argument("--lg-e", type=int, default=12)
+    p.add_argument("--lanes", type=int, default=1024)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device-locator", action="store_true",
+                   help="build the locator on-device (jit-composable "
+                        "path) instead of the host-prepared fast path")
+    p.set_defaults(fn=cmd_decode_bench)
 
     p = sub.add_parser("encode", help="encode a file into data+parity blocks")
     p.add_argument("file")

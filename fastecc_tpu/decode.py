@@ -122,6 +122,151 @@ def _derivative(coeffs, field: FieldSpec, n: int):
     return jnp.concatenate([der, pad], axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Host-side locator machinery (numpy u64). The on-device product tree above
+# is jit-composable (erasure positions as traced data) but costs thousands
+# of tiny sequential TPU ops; when positions are known on the host — the
+# decode_blocks product path always knows them — building the locator,
+# its evaluations, and the inverse-derivative table in vectorized numpy
+# takes microseconds and shrinks the device program to two big NTTs.
+# ---------------------------------------------------------------------------
+
+def _inv_host_vec(a: np.ndarray, field: FieldSpec) -> np.ndarray:
+    """Elementwise a^(p-2) mod p, vectorized square-and-multiply."""
+    p = np.uint64(field.p)
+    e = field.p - 2
+    result = np.ones_like(a, dtype=np.uint64)
+    base = a.astype(np.uint64)
+    while e:
+        if e & 1:
+            result = result * base % p
+        e >>= 1
+        if e:
+            base = base * base % p
+    return result.astype(np.uint32)
+
+
+def locator_host(erased_idx: np.ndarray, n: int, field: FieldSpec):
+    """Host numpy build of the decode tables for erasure set E.
+
+    Returns (l_eval [n], lp_inv [n]) where l_eval[j] = l(w^j) for
+    l(x) = prod_{i in E} (x - w^i), and lp_inv[j] = l'(w^j)^-1 at erased j
+    (other entries are don't-care). Matches the device locator_coeffs /
+    derivative path bit-exactly (test-enforced).
+    """
+    from .ntt import ntt_host, powers_host
+    p = np.uint64(field.p)
+    erased_idx = np.asarray(erased_idx, dtype=np.uint64)
+    e = int(erased_idx.shape[0])
+    assert 1 <= e < n
+    w = field.root_of_order(n)
+    # roots w^i via host pow (vectorized square-and-multiply over bits of i)
+    roots = np.ones(e, dtype=np.uint64)
+    sq = np.uint64(w)
+    for t in range(field.max_log2 + 1):
+        bit = (erased_idx >> np.uint64(t)) & np.uint64(1)
+        stepped = roots * sq % p
+        roots = np.where(bit == 1, stepped, roots)
+        sq = sq * sq % p
+    neg = np.where(roots == 0, roots, p - roots).astype(np.uint32)
+
+    # product tree over monic (x - r) factors, stored without leading 1;
+    # same level structure as the device _tree_pow2/_loc_stored.
+    def tree_pow2(nr):
+        a = nr.reshape(1, -1)
+        d, m = 1, nr.shape[0]
+        while m > 1:
+            lhs, rhs = a[:, 0::2], a[:, 1::2]
+            pad = np.zeros((d, m // 2), np.uint32)
+            fa = ntt_host(np.concatenate([lhs, pad], axis=0), field)
+            fb = ntt_host(np.concatenate([rhs, pad], axis=0), field)
+            prod = ntt_host(
+                (fa.astype(np.uint64) * fb % p).astype(np.uint32),
+                field, inverse=True)
+            hi = (prod[d:].astype(np.uint64) + lhs + rhs) % p
+            a = np.concatenate([prod[:d].astype(np.uint64), hi],
+                               axis=0).astype(np.uint32)
+            d, m = 2 * d, m // 2
+        return a[:, 0]
+
+    def mul_monic(a, b):
+        d1, d2 = a.shape[0], b.shape[0]
+        size = 1 << (d1 + d2 - 1).bit_length()
+        fa = ntt_host(np.concatenate([a, np.zeros(size - d1, np.uint32)]),
+                      field)
+        fb = ntt_host(np.concatenate([b, np.zeros(size - d2, np.uint32)]),
+                      field)
+        conv = ntt_host((fa.astype(np.uint64) * fb % p).astype(np.uint32),
+                        field, inverse=True)[: d1 + d2].astype(np.uint64)
+        conv[d2: d2 + d1] = (conv[d2: d2 + d1] + a) % p
+        conv[d1: d1 + d2] = (conv[d1: d1 + d2] + b) % p
+        return conv.astype(np.uint32)
+
+    def loc_stored(nr):
+        m = nr.shape[0]
+        if m == 1:
+            return nr
+        t = 1 << (m.bit_length() - 1)
+        if t == m:
+            return tree_pow2(nr)
+        return mul_monic(tree_pow2(nr[:t]), loc_stored(nr[t:]))
+
+    stored = loc_stored(neg)
+    lc = np.concatenate([stored, np.ones(1, np.uint32)])       # [e+1]
+
+    lpad = np.concatenate([lc, np.zeros(n - e - 1, np.uint32)])
+    l_eval = ntt_host(lpad, field)                             # l(w^j)
+
+    deriv = lc[1:].astype(np.uint64) * (np.arange(1, e + 1, dtype=np.uint64)
+                                        % p) % p
+    dpad = np.concatenate([deriv.astype(np.uint32),
+                           np.zeros(n - e, np.uint32)])
+    lp_eval = ntt_host(dpad, field)                            # l'(w^j)
+    lp_inv = _inv_host_vec(lp_eval, field)
+    return l_eval, lp_inv
+
+
+def decode_prepared(codeword, mask, l_eval_prep, lp_inv_prep,
+                    field: FieldSpec):
+    """Device half of the host-prepared decode: two [n, lanes] transforms
+    plus elementwise work. ``mask`` [n] is 1 at erased rows; the two
+    prepared tables come from :func:`locator_host` via gf.prepare_device
+    (or ntt.prepare_consts on the host values).
+    """
+    n = codeword.shape[0]
+    rest = (1,) * (codeword.ndim - 1)
+    maskb = (mask == 1).reshape((n,) + rest)
+    safe_cw = jnp.where(maskb, 0, codeword)
+    h_eval = gf.mul_prepared_device(
+        field, safe_cw, l_eval_prep.reshape((n,) + rest))
+    h_coeffs = ntt_auto(h_eval, field, inverse=True)
+    h_der = _derivative(h_coeffs, field, n)
+    hp_eval = ntt_auto(h_der, field)
+    recovered = gf.mul_prepared_device(
+        field, hp_eval, lp_inv_prep.reshape((n,) + rest))
+    return jnp.where(maskb, recovered, codeword)
+
+
+decode_prepared_jit = jax.jit(decode_prepared, static_argnames=("field",))
+
+
+def decode_host_prepared(codeword, erased_idx, field: FieldSpec):
+    """Full decode with host-built locator tables (the fast product path).
+
+    Bit-exact equal to :func:`decode`; erasure positions must be concrete
+    host values (numpy), not traced arrays.
+    """
+    n = codeword.shape[0]
+    erased = np.asarray(erased_idx)
+    l_eval, lp_inv = locator_host(erased, n, field)
+    mask = np.zeros(n, np.uint32)
+    mask[erased] = 1
+    from .ntt import prepare_consts
+    lp = jnp.asarray(np.asarray(prepare_consts(field, l_eval)))
+    ip = jnp.asarray(np.asarray(prepare_consts(field, lp_inv)))
+    return decode_prepared_jit(codeword, jnp.asarray(mask), lp, ip, field)
+
+
 def decode(codeword, erased_idx, field: FieldSpec):
     """Recover erased rows of a codeword.
 
@@ -224,7 +369,9 @@ def decode_blocks(survivors: dict, n: int, k: int, field: FieldSpec):
     if erased.size:
         from .rs import _pad_lanes
         padded, real_lanes = _pad_lanes(jnp.asarray(cw))
-        full = decode_jit(padded, jnp.asarray(erased), field)[:, :real_lanes]
+        # positions are host-known here: the host-prepared locator path
+        # skips the on-device product tree (thousands of tiny kernels)
+        full = decode_host_prepared(padded, erased, field)[:, :real_lanes]
     else:
         full = jnp.asarray(cw)
     data_rows = full[data_positions(n, k)]

@@ -68,7 +68,9 @@ def prepare_consts(field: FieldSpec, vals: np.ndarray) -> np.ndarray:
     needs no scaling).
     """
     if field.use_mont:
-        return ((vals.astype(object) << 32) % field.p).astype(np.uint32)
+        # (v << 32) % p in u64: v < 2^32 so v << 32 <= 2^64 - 2^32 fits
+        return ((vals.astype(np.uint64) << np.uint64(32))
+                % np.uint64(field.p)).astype(np.uint32)
     return vals.astype(np.uint32)
 
 
@@ -292,6 +294,44 @@ def ntt_four_step(x, field: FieldSpec, inverse: bool = False,
 
 ntt_four_step_jit = jax.jit(
     ntt_four_step, static_argnames=("field", "inverse", "c_dim", "scale"))
+
+
+# ---------------------------------------------------------------------------
+# Host-side numpy NTT: vectorized u64 mulmod (no Montgomery needed on the
+# host). Used for trace-time table construction over *runtime-known* data —
+# e.g. the decode locator machinery, where erasure positions are known on
+# the host and a device product tree would cost thousands of tiny
+# sequential TPU ops (decode.py) — and as a mid-size test oracle.
+# ---------------------------------------------------------------------------
+
+def ntt_host(x: np.ndarray, field: FieldSpec, inverse: bool = False,
+             scale: bool = True) -> np.ndarray:
+    """Stockham NTT along axis 0 in numpy; bit-exact equal to :func:`ntt`."""
+    x = np.asarray(x)
+    n = x.shape[0]
+    t = _log2(n)
+    rest = x.shape[1:]
+    if t == 0:
+        return x.astype(np.uint32)
+    p = np.uint64(field.p)
+    y = x.reshape((n, 1) + rest).astype(np.uint64)
+    for s in range(t):
+        a = n >> s
+        half = a >> 1
+        w = field.root_of_order(a)
+        if inverse:
+            w = field.inv_host(w)
+        tw = powers_host(field, w, half).astype(np.uint64).reshape(
+            (half, 1) + (1,) * len(rest))
+        lo, hi = y[:half], y[half:]
+        even = (lo + hi) % p
+        odd = (lo + p - hi) % p * tw % p
+        y = np.stack([even, odd], axis=1).reshape(
+            (half, 2 * y.shape[1]) + rest)
+    out = y.reshape((n,) + rest)
+    if inverse and scale:
+        out = out * np.uint64(field.inv_host(n)) % p
+    return out.astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------

@@ -128,3 +128,59 @@ def encode_parity_sharded(data, field: FieldSpec, mesh: Mesh,
 
 encode_parity_sharded_jit = jax.jit(
     encode_parity_sharded, static_argnames=("field", "mesh", "n"))
+
+
+def decode_prepared_sharded(codeword, mask, l_eval_prep, lp_inv_prep,
+                            field: FieldSpec, mesh: Mesh):
+    """Distributed erasure decode (device half), sharded P('coeff','block').
+
+    Same math as decode.decode_prepared — mask out erasures, multiply by
+    the locator evaluations, iNTT_n, formal derivative, NTT_n, Forney
+    divide — with both [n, lanes] transforms running as mesh-sharded
+    four-step NTTs (all_to_all over 'coeff'). The [n] tables come from
+    decode.locator_host via ntt.prepare_consts. Bit-exact equal to the
+    single-device path (test-enforced on the virtual CPU mesh).
+    """
+    from ..decode import _derivative
+
+    n = codeword.shape[0]
+    spec_cw = NamedSharding(mesh, P("coeff", "block"))
+    spec_vec = NamedSharding(mesh, P("coeff"))
+    cw = jax.lax.with_sharding_constraint(codeword, spec_cw)
+    mask = jax.lax.with_sharding_constraint(mask, spec_vec)
+    l_eval_prep = jax.lax.with_sharding_constraint(l_eval_prep, spec_vec)
+    lp_inv_prep = jax.lax.with_sharding_constraint(lp_inv_prep, spec_vec)
+
+    maskb = (mask == 1)[:, None]
+    safe_cw = jnp.where(maskb, 0, cw)
+    h_eval = gf.mul_prepared_device(field, safe_cw, l_eval_prep[:, None])
+    h_coeffs = ntt_sharded(h_eval, field, mesh, inverse=True)
+    h_der = _derivative(h_coeffs, field, n)
+    hp_eval = ntt_sharded(h_der, field, mesh)
+    recovered = gf.mul_prepared_device(field, hp_eval, lp_inv_prep[:, None])
+    out = jnp.where(maskb, recovered, cw)
+    return jax.lax.with_sharding_constraint(out, spec_cw)
+
+
+decode_prepared_sharded_jit = jax.jit(
+    decode_prepared_sharded, static_argnames=("field", "mesh"))
+
+
+def decode_sharded(codeword, erased_idx, field: FieldSpec, mesh: Mesh):
+    """Full distributed decode: host-built locator tables + sharded device
+    program. ``erased_idx`` must be concrete host values (numpy)."""
+    import numpy as np
+
+    from ..decode import locator_host
+    from ..ntt import prepare_consts
+
+    n = codeword.shape[0]
+    erased = np.asarray(erased_idx)
+    l_eval, lp_inv = locator_host(erased, n, field)
+    mask = np.zeros(n, np.uint32)
+    mask[erased] = 1
+    return decode_prepared_sharded_jit(
+        codeword, jnp.asarray(mask),
+        jnp.asarray(np.asarray(prepare_consts(field, l_eval))),
+        jnp.asarray(np.asarray(prepare_consts(field, lp_inv))),
+        field, mesh)

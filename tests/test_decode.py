@@ -169,3 +169,41 @@ def test_locator_is_monic_product():
             poly2 = nxt
         want = np.array(poly2, dtype=np.uint32)
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("n,e", [(64, 17), (128, 64), (256, 1)])
+def test_host_prepared_decode_matches_device(field, n, e):
+    """decode_host_prepared (numpy locator tables + slim device program)
+    must be bit-exact vs the all-device decode and the true codeword."""
+    k = n // 2
+    data = rand_field(field, (k, 5))
+    cw = np.asarray(rs.encode(jnp.asarray(data), field, n))
+    erased = np.sort(RNG.choice(n, size=e, replace=False))
+    garbled = cw.copy()
+    garbled[erased] = rand_field(field, (e, 5))
+    dev = np.asarray(dec.decode(jnp.asarray(garbled),
+                                jnp.asarray(erased), field))
+    host = np.asarray(dec.decode_host_prepared(jnp.asarray(garbled),
+                                               erased, field))
+    np.testing.assert_array_equal(dev, cw)
+    np.testing.assert_array_equal(host, cw)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_locator_host_matches_device_tables(field):
+    """Host numpy locator evaluations == device locator_coeffs pipeline."""
+    from fastecc_tpu import gf
+    from fastecc_tpu.ntt import ntt
+    n, e = 128, 37
+    erased = np.sort(RNG.choice(n, size=e, replace=False))
+    l_eval_h, lp_inv_h = dec.locator_host(erased, n, field)
+    lc = dec.locator_coeffs(jnp.asarray(erased, dtype=jnp.uint32), n, field)
+    lpad = jnp.concatenate([lc, jnp.zeros(n - e - 1, jnp.uint32)])
+    l_eval_d = np.asarray(ntt(lpad, field))
+    np.testing.assert_array_equal(l_eval_h, l_eval_d)
+    l_der = dec._derivative(lc, field, n)
+    lp_eval_d = np.asarray(ntt(l_der, field))
+    lp_inv_d = np.asarray(gf.inv(field, jnp.asarray(lp_eval_d)))
+    np.testing.assert_array_equal(
+        lp_inv_h[erased], lp_inv_d[erased])

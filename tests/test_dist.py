@@ -83,3 +83,47 @@ def test_mesh_too_small_for_split():
     x = jnp.asarray(rand_field(GF32, (16, 4)))
     with pytest.raises(AssertionError, match="divide"):
         ntt_sharded(x, GF32, mesh)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_decode_sharded_matches_single(field):
+    """Distributed decode == single-device decode == the true codeword."""
+    from fastecc_tpu import decode as dec
+    from fastecc_tpu.parallel.ntt_dist import decode_sharded
+
+    mesh = make_mesh(4, 2)
+    n, e, lanes = 1 << 8, 100, 8
+    k = n // 2
+    data = rand_field(field, (k, lanes))
+    cw = np.asarray(rs.encode(jnp.asarray(data), field, n))
+    erased = np.sort(RNG.choice(n, size=e, replace=False))
+    garbled = cw.copy()
+    garbled[erased] = rand_field(field, (e, lanes))
+    got = np.asarray(decode_sharded(jnp.asarray(garbled), erased, field,
+                                    mesh))
+    np.testing.assert_array_equal(got, cw)
+    single = np.asarray(dec.decode_host_prepared(jnp.asarray(garbled),
+                                                 erased, field))
+    np.testing.assert_array_equal(got, single)
+
+
+def test_decode_sharded_lowering_has_collectives():
+    from fastecc_tpu.parallel.ntt_dist import decode_sharded
+
+    mesh = make_mesh(8, 1)
+    n, e = 1 << 8, 17
+    cw = jnp.asarray(rand_field(GF32, (n, 8)))
+    erased = np.sort(RNG.choice(n, size=e, replace=False))
+    # decode_sharded jits internally; inspect via the jitted wrapper's HLO
+    from fastecc_tpu.decode import locator_host
+    from fastecc_tpu.ntt import prepare_consts
+    from fastecc_tpu.parallel.ntt_dist import decode_prepared_sharded
+    l_eval, lp_inv = locator_host(erased, n, GF32)
+    mask = np.zeros(n, np.uint32); mask[erased] = 1
+    txt = jax.jit(
+        lambda c, m, le, li: decode_prepared_sharded(c, m, le, li, GF32,
+                                                     mesh)
+    ).lower(cw, jnp.asarray(mask),
+            jnp.asarray(np.asarray(prepare_consts(GF32, l_eval))),
+            jnp.asarray(np.asarray(prepare_consts(GF32, lp_inv)))).as_text()
+    assert txt.count("all_to_all") >= 6, "two sharded NTTs => >= 6 all_to_alls"
