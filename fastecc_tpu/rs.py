@@ -123,6 +123,51 @@ encode_parity_jit = jax.jit(
     encode_parity, static_argnames=("field", "n", "lane_chunks"))
 
 
+def encode_parity_stream(data: np.ndarray, field: FieldSpec,
+                         n: int | None = None, chunk_lanes: int = 1024,
+                         out: np.ndarray | None = None) -> np.ndarray:
+    """Out-of-core encode for datasets larger than HBM.
+
+    ``data`` is a host [k, L] uint32 array (numpy or np.memmap); lanes are
+    independent codewords, so the lane axis streams through the device in
+    ``chunk_lanes``-wide slices with a depth-2 pipeline: while chunk i
+    computes on-device, chunk i+1 uploads and chunk i-1 downloads (JAX
+    async dispatch overlaps all three). Bit-identical to a single
+    ``encode_parity`` call. Peak HBM = O(k * chunk_lanes) per pipeline
+    slot instead of O(k * L).
+
+    Returns (or fills ``out`` with) the [n-k, L] parity as host numpy.
+
+    Throughput is host<->device-bandwidth-bound by design (each lane slice
+    crosses the link twice); on-device compute fully overlaps. Keep data
+    HBM-resident (encode_parity) when it fits — this path exists for
+    datasets that do not.
+    """
+    k, lanes = data.shape
+    n = 2 * k if n is None else n
+    _check_kn(k, n)
+    assert lanes % chunk_lanes == 0 or lanes < chunk_lanes, (
+        f"chunk_lanes {chunk_lanes} must divide L={lanes} (or exceed it)")
+    chunk_lanes = min(chunk_lanes, lanes)
+    if out is None:
+        out = np.empty((n - k, lanes), dtype=np.uint32)
+    pending = []  # (lane_offset, device_result), drained one behind
+
+    def drain(item):
+        off, y = item
+        out[:, off:off + chunk_lanes] = np.asarray(y)  # D2H fence
+
+    for off in range(0, lanes, chunk_lanes):
+        x = jnp.asarray(np.ascontiguousarray(data[:, off:off + chunk_lanes]))
+        y = encode_parity_jit(x, field, n)             # async dispatch
+        pending.append((off, y))
+        if len(pending) > 2:
+            drain(pending.pop(0))
+    for item in pending:
+        drain(item)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Block-level (wire format) API: raw 4KB data blocks in, parity bytes out.
 # ---------------------------------------------------------------------------

@@ -127,3 +127,16 @@ def test_lane_chunks_bit_identical():
     chunked = np.asarray(
         rs.encode_parity_jit(jnp.asarray(data), GF32, lane_chunks=4))
     np.testing.assert_array_equal(chunked, full)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_stream_encode_bit_identical(field):
+    """Out-of-core lane streaming must equal the one-shot encode."""
+    k, lanes = 1 << 6, 48
+    data = rand_field(field, (k, lanes))
+    want = np.asarray(rs.encode_parity_jit(jnp.asarray(data), field))
+    got = rs.encode_parity_stream(data, field, chunk_lanes=16)
+    np.testing.assert_array_equal(got, want)
+    # chunk wider than L: single chunk path
+    got1 = rs.encode_parity_stream(data, field, chunk_lanes=1024)
+    np.testing.assert_array_equal(got1, want)
