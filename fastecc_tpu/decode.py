@@ -154,8 +154,20 @@ def locator_host(erased_idx: np.ndarray, n: int, field: FieldSpec):
     (other entries are don't-care). Matches the device locator_coeffs /
     derivative path bit-exactly (test-enforced).
     """
-    from .ntt import ntt_host, powers_host
+    from . import host
+    from .ntt import ntt_host
+
+    # native OpenMP NTT/mulmod when the library is built; numpy otherwise.
+    # Bit-exact either way (equivalence test-enforced).
+    native = host.available()
+    nth = host.ntt if native else ntt_host
     p = np.uint64(field.p)
+    if native:
+        def mm(a, b):
+            return host.mulmod(a, b, field)
+    else:
+        def mm(a, b):
+            return (a.astype(np.uint64) * b % p).astype(np.uint32)
     erased_idx = np.asarray(erased_idx, dtype=np.uint64)
     e = int(erased_idx.shape[0])
     assert 1 <= e < n
@@ -178,11 +190,9 @@ def locator_host(erased_idx: np.ndarray, n: int, field: FieldSpec):
         while m > 1:
             lhs, rhs = a[:, 0::2], a[:, 1::2]
             pad = np.zeros((d, m // 2), np.uint32)
-            fa = ntt_host(np.concatenate([lhs, pad], axis=0), field)
-            fb = ntt_host(np.concatenate([rhs, pad], axis=0), field)
-            prod = ntt_host(
-                (fa.astype(np.uint64) * fb % p).astype(np.uint32),
-                field, inverse=True)
+            fa = nth(np.concatenate([lhs, pad], axis=0), field)
+            fb = nth(np.concatenate([rhs, pad], axis=0), field)
+            prod = nth(mm(fa, fb), field, inverse=True)
             hi = (prod[d:].astype(np.uint64) + lhs + rhs) % p
             a = np.concatenate([prod[:d].astype(np.uint64), hi],
                                axis=0).astype(np.uint32)
@@ -192,11 +202,11 @@ def locator_host(erased_idx: np.ndarray, n: int, field: FieldSpec):
     def mul_monic(a, b):
         d1, d2 = a.shape[0], b.shape[0]
         size = 1 << (d1 + d2 - 1).bit_length()
-        fa = ntt_host(np.concatenate([a, np.zeros(size - d1, np.uint32)]),
+        fa = nth(np.concatenate([a, np.zeros(size - d1, np.uint32)]),
                       field)
-        fb = ntt_host(np.concatenate([b, np.zeros(size - d2, np.uint32)]),
+        fb = nth(np.concatenate([b, np.zeros(size - d2, np.uint32)]),
                       field)
-        conv = ntt_host((fa.astype(np.uint64) * fb % p).astype(np.uint32),
+        conv = nth((fa.astype(np.uint64) * fb % p).astype(np.uint32),
                         field, inverse=True)[: d1 + d2].astype(np.uint64)
         conv[d2: d2 + d1] = (conv[d2: d2 + d1] + a) % p
         conv[d1: d1 + d2] = (conv[d1: d1 + d2] + b) % p
@@ -215,13 +225,13 @@ def locator_host(erased_idx: np.ndarray, n: int, field: FieldSpec):
     lc = np.concatenate([stored, np.ones(1, np.uint32)])       # [e+1]
 
     lpad = np.concatenate([lc, np.zeros(n - e - 1, np.uint32)])
-    l_eval = ntt_host(lpad, field)                             # l(w^j)
+    l_eval = nth(lpad, field)                             # l(w^j)
 
     deriv = lc[1:].astype(np.uint64) * (np.arange(1, e + 1, dtype=np.uint64)
                                         % p) % p
     dpad = np.concatenate([deriv.astype(np.uint32),
                            np.zeros(n - e, np.uint32)])
-    lp_eval = ntt_host(dpad, field)                            # l'(w^j)
+    lp_eval = nth(dpad, field)                            # l'(w^j)
     lp_inv = _inv_host_vec(lp_eval, field)
     return l_eval, lp_inv
 

@@ -47,6 +47,7 @@ def _load() -> bool:
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u32p = ctypes.POINTER(ctypes.c_uint32)
     i64 = ctypes.c_int64
+    u64 = ctypes.c_uint64
     for name, args in [
         ("pack_gf32", (u8p, i64, u32p)),
         ("unpack_gf32", (u32p, i64, u8p)),
@@ -57,6 +58,8 @@ def _load() -> bool:
         ("serialize_parity_gf16", (u32p, i64, u8p)),
         ("deserialize_parity_gf16", (u8p, i64, u32p)),
         ("crc32c_blocks", (u8p, i64, i64, u32p)),
+        ("ntt_mod", (u32p, u32p, i64, i64, u64, u64, u64)),
+        ("mulmod_vec", (u32p, u32p, i64, u64, u32p)),
     ]:
         fn = getattr(lib, name)
         fn.argtypes = list(args)
@@ -121,6 +124,42 @@ def deserialize_parity(raw: np.ndarray, field: FieldSpec) -> np.ndarray:
     out = np.empty((m, lanes), dtype=np.uint32)
     getattr(_lib, f"deserialize_parity_{_suffix(field)}")(
         _u8p(raw), m, _u32p(out))
+    return out
+
+
+def ntt(x: np.ndarray, field: FieldSpec, inverse: bool = False,
+        scale: bool = True) -> np.ndarray:
+    """NTT along axis 0 of [n, m] (or [n]) u32, native OpenMP path.
+
+    Bit-exact equal to ntt.ntt_host / the device ntt (test-enforced).
+    """
+    assert _load()
+    x = np.ascontiguousarray(x, dtype=np.uint32)
+    shape = x.shape
+    n = shape[0]
+    m = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 else 1
+    out = x.copy()
+    scratch = np.empty_like(out)
+    w = field.root_of_order(n)
+    if inverse:
+        w = field.inv_host(w)
+    s = field.inv_host(n) if (inverse and scale and n > 1) else 1
+    if n > 1:
+        _lib.ntt_mod(_u32p(out), _u32p(scratch), n, m,
+                     ctypes.c_uint64(field.p), ctypes.c_uint64(w),
+                     ctypes.c_uint64(s))
+    return out
+
+
+def mulmod(a: np.ndarray, b: np.ndarray, field: FieldSpec) -> np.ndarray:
+    """Elementwise (a * b) mod p, native path."""
+    assert _load()
+    a = np.ascontiguousarray(a, dtype=np.uint32)
+    b = np.ascontiguousarray(b, dtype=np.uint32)
+    assert a.shape == b.shape
+    out = np.empty_like(a)
+    _lib.mulmod_vec(_u32p(a), _u32p(b), a.size, ctypes.c_uint64(field.p),
+                    _u32p(out))
     return out
 
 

@@ -15,6 +15,13 @@
 #include <cstdint>
 #include <cstring>
 
+#ifdef _OPENMP
+#include <omp.h>
+#else
+static inline int omp_get_num_threads() { return 1; }
+static inline int omp_get_thread_num() { return 0; }
+#endif
+
 static const uint32_t P32 = 0xFFF00001u;
 
 extern "C" {
@@ -127,6 +134,110 @@ void deserialize_parity_gf16(const uint8_t* raw, int64_t nblocks,
       dst[i] = static_cast<uint32_t>(w) + (esc ? 0x10000u : 0u);
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// Host NTT (SURVEY.md C8 host-side twin): Stockham along axis 0 of an
+// [n, m] u32 array, u64 scalar arithmetic (p < 2^32 so products fit),
+// OpenMP across butterfly rows. Semantics are pinned to
+// fastecc_tpu.ntt.ntt_host and the device ntt (natural order in and out);
+// bit-exactness is test-enforced. Main consumer: decode.locator_host's
+// product tree, whose biggest levels dominate the erasure-locator build.
+// ---------------------------------------------------------------------------
+
+static inline uint64_t pow_mod(uint64_t b, uint64_t e, uint64_t p) {
+  uint64_t r = 1;
+  b %= p;
+  while (e) {
+    if (e & 1) r = r * b % p;
+    b = b * b % p;
+    e >>= 1;
+  }
+  return r;
+}
+
+// Barrett reduction for (a * b) mod p with a, b < p < 2^32: one 64x64
+// high multiply instead of a hardware u64 division (~3x faster inner
+// loop). md = floor((2^64 - 1) / p) gives q in {floor(x/p)-1, floor(x/p)},
+// so a single conditional subtract finishes the reduction.
+static inline uint64_t mulhi64(uint64_t a, uint64_t b) {
+  return (uint64_t)(((unsigned __int128)a * b) >> 64);
+}
+
+static inline uint64_t barrett_mul(uint64_t a, uint64_t b, uint64_t p,
+                                   uint64_t md) {
+  uint64_t x = a * b;  // exact: a, b < 2^32
+  uint64_t r = x - mulhi64(x, md) * p;
+  return r >= p ? r - p : r;
+}
+
+// One Stockham stage: src viewed as [a, D, m] -> dst [a/2, 2, D, m].
+// wa = stage root (w_n^(n/a) or its inverse), row i multiplies by wa^i;
+// the twiddle steps incrementally inside each thread's chunk (one mulmod
+// per row instead of a log-cost pow).
+static void ntt_stage(const uint32_t* src, uint32_t* dst, int64_t half,
+                      int64_t dm, uint64_t wa, uint64_t p) {
+#pragma omp parallel
+  {
+    int nt = omp_get_num_threads();
+    int tid = omp_get_thread_num();
+    int64_t chunk = (half + nt - 1) / nt;
+    int64_t begin = (int64_t)tid * chunk;
+    int64_t end = begin + chunk < half ? begin + chunk : half;
+    uint64_t md = ~0ULL / p;
+    uint64_t tw = begin < end ? pow_mod(wa, (uint64_t)begin, p) : 0;
+    for (int64_t i = begin; i < end; ++i) {
+      const uint32_t* lo = src + i * dm;
+      const uint32_t* hi = src + (i + half) * dm;
+      uint32_t* even = dst + (2 * i) * dm;
+      uint32_t* odd = dst + (2 * i + 1) * dm;
+      for (int64_t t = 0; t < dm; ++t) {
+        uint64_t u = lo[t], v = hi[t];
+        uint64_t s = u + v;
+        even[t] = (uint32_t)(s >= p ? s - p : s);
+        uint64_t d = u >= v ? u - v : u + p - v;
+        odd[t] = (uint32_t)barrett_mul(d, tw, p, md);
+      }
+      tw = barrett_mul(tw, wa, p, md);
+    }
+  }
+}
+
+// In-place NTT along axis 0 of x [n, m] (n a power of two), using scratch
+// of the same size. w is the order-n root (caller passes w^-1 for the
+// inverse) and scale is the final multiplier (n^-1 for a scaled inverse,
+// 1 otherwise).
+void ntt_mod(uint32_t* x, uint32_t* scratch, int64_t n, int64_t m,
+             uint64_t p, uint64_t w, uint64_t scale) {
+  uint32_t* src = x;
+  uint32_t* dst = scratch;
+  int64_t dm = m;  // D * m with D = completed-splits axis, D starts at 1
+  for (int64_t a = n; a >= 2; a >>= 1) {
+    uint64_t wa = pow_mod(w, (uint64_t)(n / a), p);
+    ntt_stage(src, dst, a >> 1, dm, wa, p);
+    uint32_t* t = src;
+    src = dst;
+    dst = t;
+    dm <<= 1;
+  }
+  if (src != x)
+    std::memcpy(x, src, (size_t)(n * m) * 4);
+  if (scale != 1) {
+    uint64_t md = ~0ULL / p;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n * m; ++i)
+      x[i] = (uint32_t)barrett_mul(x[i], scale, p, md);
+  }
+}
+
+// Elementwise (a * b) mod p over u32 arrays — the product-tree pointwise
+// convolution multiply.
+void mulmod_vec(const uint32_t* a, const uint32_t* b, int64_t len,
+                uint64_t p, uint32_t* out) {
+  uint64_t md = ~0ULL / p;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < len; ++i)
+    out[i] = (uint32_t)barrett_mul(a[i], b[i], p, md);
 }
 
 // CRC32C (Castagnoli), bitwise-sliced software table; used for block

@@ -65,3 +65,21 @@ def test_decode_blocks_uses_native(monkeypatch):
     without = dec.decode_blocks(surv, n, k, field)
     np.testing.assert_array_equal(with_native, without)
     np.testing.assert_array_equal(with_native, raw)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("shape", [(64, 3), (256,), (1024, 2)])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_native_ntt_matches_numpy(field, shape, inverse):
+    """native ntt_mod (Barrett u64) == ntt.ntt_host == device convention."""
+    from fastecc_tpu.ntt import ntt_host
+    x = RNG.integers(0, field.p, shape, dtype=np.uint64).astype(np.uint32)
+    got = host.ntt(x, field, inverse=inverse)
+    np.testing.assert_array_equal(got, ntt_host(x, field, inverse=inverse))
+
+
+def test_native_mulmod_matches_numpy():
+    a = RNG.integers(0, GF32.p, 4096, dtype=np.uint64).astype(np.uint32)
+    b = RNG.integers(0, GF32.p, 4096, dtype=np.uint64).astype(np.uint32)
+    want = (a.astype(np.uint64) * b % np.uint64(GF32.p)).astype(np.uint32)
+    np.testing.assert_array_equal(host.mulmod(a, b, GF32), want)
