@@ -193,9 +193,11 @@ def cmd_encode(args):
     # demote silently-corrupted blocks to erasures)
     tags = {}
     if host.available() or host.build():
+        dtags = host.crc32c_blocks(blocks)        # one batched native call
+        ptags = host.crc32c_blocks(parity)
         for i in range(k):
-            tags[int(dpos[i])] = int(host.crc32c_blocks(blocks[i:i+1])[0])
-            tags[int(ppos[i])] = int(host.crc32c_blocks(parity[i:i+1])[0])
+            tags[int(dpos[i])] = int(dtags[i])
+            tags[int(ppos[i])] = int(ptags[i])
     for i in range(k):
         (out / f"block_{int(dpos[i]):06d}.dat").write_bytes(
             blocks[i].tobytes())
@@ -246,15 +248,21 @@ def cmd_scaling(args):
     CPU devices (structural check, not a perf number); on a real slice the
     same command measures true ICI scaling ([BASELINE] config :11)."""
     import os
-    import jax
-    if jax.local_device_count() < args.devices:
+    # the CPU-platform device-count flag must be set before the CPU client
+    # is created; harmless for real-hardware platforms
+    if "xla_force_host_platform_device_count" not in os.environ.get(
+            "XLA_FLAGS", ""):
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                    f" --xla_force_host_platform_device_count"
                                    f"={args.devices}").strip()
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+    import jax
+    devices = jax.devices()
+    if len(devices) < args.devices:
+        # build the mesh from virtual CPU devices explicitly (requesting
+        # the cpu client works even after another backend initialized)
+        devices = jax.devices("cpu")
+    assert len(devices) >= args.devices, (
+        f"need {args.devices} devices, have {len(devices)}")
     import jax.numpy as jnp
     from . import rs
     from .parallel import make_mesh
@@ -266,7 +274,7 @@ def cmd_scaling(args):
     d = 1
     base = None
     while d <= args.devices:
-        mesh = make_mesh(d, 1)
+        mesh = make_mesh(d, 1, devices=devices[:d])
         lanes = args.lanes * d                     # weak scaling: grow work
         x = jnp.asarray(_rand(field, (k, lanes)))
         fn = lambda v: encode_parity_sharded_jit(v, field, mesh, 2 * k)
@@ -276,7 +284,7 @@ def cmd_scaling(args):
         base = base or gbps
         rows.append({"devices": d, "lanes": lanes,
                      "seconds": round(secs, 4),
-                     "gb_per_sec": round(gbps, 2),
+                     "gb_per_sec": round(gbps, 4),
                      "weak_scaling_eff": round(eff, 3)})
         print(json.dumps(rows[-1]))
         d *= 2

@@ -207,3 +207,18 @@ def test_locator_host_matches_device_tables(field):
     lp_inv_d = np.asarray(gf.inv(field, jnp.asarray(lp_eval_d)))
     np.testing.assert_array_equal(
         lp_inv_h[erased], lp_inv_d[erased])
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_adversarial_erasure_suite(field):
+    """Decode every pattern of the fault-injection suite at max loss."""
+    from fastecc_tpu.testing import adversarial_suite
+    n, k, lanes = 128, 64, 3
+    data = rand_field(field, (k, lanes))
+    cw = np.asarray(rs.encode(jnp.asarray(data), field, n))
+    for name, erased in adversarial_suite(n, k, seed=3):
+        garbled = cw.copy()
+        garbled[erased] = rand_field(field, (len(erased), lanes))
+        out = np.asarray(dec.decode_host_prepared(
+            jnp.asarray(garbled), erased, field))
+        np.testing.assert_array_equal(out, cw, err_msg=f"pattern {name}")
