@@ -34,8 +34,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import gf
 from ..fields import FieldSpec
-from ..ntt import _four_step_twiddles, _log2, mul_prepared, ntt
+from ..ntt import _four_step_twiddles, _log2, mul_prepared, ntt, ntt_auto
 from ..rs import _check_kn, _coset_twiddles
+
+
+def _local_ntt(y, field: FieldSpec, inverse: bool):
+    """Per-device NTT along axis 0 of a [T, A, L] shard-local block.
+
+    Trailing axes are independent lanes, so flatten them and go through
+    ntt_auto — on TPU that is the fused two-pass Pallas kernel (the staged
+    jnp path would cost log2(T) HBM passes per local transform); on CPU
+    and for unsupported shapes it falls back to staged jnp. Bit-exact
+    either way.
+    """
+    t, a, lanes = y.shape
+    out = ntt_auto(y.reshape(t, a * lanes), field, inverse=inverse,
+                   scale=False)
+    return out.reshape(t, a, lanes)
 
 
 def _split_dims(n: int, d: int, c_dim: int | None):
@@ -71,12 +86,12 @@ def ntt_sharded(x, field: FieldSpec, mesh: Mesh, inverse: bool = False,
         # xl: [C/D, R, L_b] (c-slab), twl: [C, R/D] (r-slab of the table)
         y = jax.lax.all_to_all(xl, "coeff", split_axis=1, concat_axis=0,
                                tiled=True)               # [C, R/D, L_b]
-        y = ntt(y, field, inverse=inverse, scale=False)  # axis 0: c -> k_c
+        y = _local_ntt(y, field, inverse)                # axis 0: c -> k_c
         y = mul_prepared(field, y, twl[:, :, None])      # w_N^(k_c * r)
         y = jax.lax.all_to_all(y, "coeff", split_axis=0, concat_axis=1,
                                tiled=True)               # [C/D, R, L_b]
         y = jnp.moveaxis(y, 1, 0)                        # [R, C/D, L_b]
-        y = ntt(y, field, inverse=inverse, scale=False)  # axis 0: r -> k_r
+        y = _local_ntt(y, field, inverse)                # axis 0: r -> k_r
         y = jax.lax.all_to_all(y, "coeff", split_axis=0, concat_axis=1,
                                tiled=True)               # [R/D, C, L_b]
         # local slab is k = k_c + C*k_r for k_r in this device's range:
@@ -86,10 +101,12 @@ def ntt_sharded(x, field: FieldSpec, mesh: Mesh, inverse: bool = False,
             out = gf.mul_const(field, out, field.inv_host(n))
         return out
 
+    # check_vma=False: Pallas out_shapes carry no varying-mesh-axes info,
+    # which the vma checker (default-on) rejects inside shard_map.
     shmap = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P("coeff", None, "block"), P(None, "coeff")),
-        out_specs=P("coeff", "block"))
+        out_specs=P("coeff", "block"), check_vma=False)
     lanes = x.shape[1]
     xr = jax.lax.with_sharding_constraint(
         x.reshape(c_dim, r_dim, lanes),
