@@ -14,6 +14,18 @@ Public API:
 
 from fastecc_tpu.fields import FIELDS, GF16, GF32, FieldSpec
 
-__all__ = ["FIELDS", "GF16", "GF32", "FieldSpec"]
+_SUBMODULES = ("gf", "ntt", "rs", "decode", "packing", "host", "testing",
+               "parallel", "utils", "cli")
+
+__all__ = ["FIELDS", "GF16", "GF32", "FieldSpec", *_SUBMODULES]
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy submodule access: ``fastecc_tpu.rs`` etc. without importing
+    jax at package-import time (fields is pure Python)."""
+    if name in _SUBMODULES:
+        import importlib
+        return importlib.import_module(f"fastecc_tpu.{name}")
+    raise AttributeError(f"module 'fastecc_tpu' has no attribute {name!r}")

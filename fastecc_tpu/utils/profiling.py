@@ -33,16 +33,20 @@ def scope(name: str):
 
 
 def encode_roofline(n_blocks: int, lanes: int, hbm_gbps: float = 819.0,
-                    vpu_int_tops: float = 3.9):
+                    vpu_add_units_per_s: float = 1.08e12):
     """Speed-of-light estimate for RS encode (n = 2k blocks, fused MFA path).
 
     Memory model: 2 fused passes per transform x 2 transforms = 4 HBM
-    read+write passes over [k, lanes] u32 + final output write.
-    Compute model: ~log2(k) * 0.5 butterflies/element/transform, ~7 uint32
-    multiplies + ~18 simple VPU ops per butterfly (16-bit-limb Montgomery).
+    read+write passes over [k, lanes] u32.
+    Compute model (docs/DESIGN.md §4): a radix butterfly costs ~19-27 VPU
+    "add units" per element pair per stage (gf.add ~2.5, gf.sub ~2.5,
+    Solinas-REDC Montgomery mulmod ~17, plus shape-dependent relayout)
+    against a sustained ~1.08e12 add-units/s on one v5e core. The 19-unit
+    figure below is calibrated to the measured 2^20-block encode; treat
+    the estimate as accurate to ~±25% across shapes, not a hard bound.
 
-    Defaults are TPU v5e-ish; returns a dict of bound estimates in seconds
-    and the implied GB/s of codeword output.
+    Returns a dict of bound estimates in seconds and the implied GB/s of
+    codeword output.
     """
     import math
     k = n_blocks // 2
@@ -52,8 +56,8 @@ def encode_roofline(n_blocks: int, lanes: int, hbm_gbps: float = 819.0,
     hbm_bytes = 4 * 2 * elems * word_bytes
     t_mem = hbm_bytes / (hbm_gbps * 1e9)
     stages = 2 * math.log2(k)                  # iNTT + coset NTT
-    ops = elems * stages * 0.5 * 25            # ops per butterfly
-    t_compute = ops / (vpu_int_tops * 1e12)
+    units = elems * stages * 0.5 * 19          # add-units per butterfly
+    t_compute = units / vpu_add_units_per_s
     t = max(t_mem, t_compute)
     out_bytes = n_blocks * lanes * word_bytes
     return {
