@@ -79,6 +79,22 @@ def run_decode_metric(iters: int):
     return secs, n * lanes * 4 / secs / 1e9, loc_secs
 
 
+def run_gf16_metric(iters: int):
+    """Secondary: GF(0x10001) encode GB/s (BASELINE.json:9 field), n=2^14
+    blocks x 32768 lanes (2GB working set so the tunnel latency washes
+    out)."""
+    from fastecc_tpu import rs
+    from fastecc_tpu.fields import GF16
+
+    k, lanes = 1 << 13, 1 << 15
+    bits = jax.random.bits(jax.random.key(2), (k, lanes), dtype=jnp.uint32)
+    data = jax.block_until_ready(bits & jnp.uint32(0xFFFF))
+    fn = jax.jit(lambda x: rs.encode_parity(x, GF16, 2 * k))
+    secs = time_fn(fn, data, iters=iters)
+    del data
+    return secs, 2 * k * lanes * 4 / secs / 1e9
+
+
 def run_ntt_metric(iters: int):
     """Secondary headline: 2^20-point GF(p) NTT wall time (BASELINE.json:2).
 
@@ -139,6 +155,13 @@ def main():
         loc_secs = round(loc_secs, 2)
     except Exception:  # noqa: BLE001 - secondary metric is best-effort
         dec_secs = dec_gbps = loc_secs = None
+    jax.clear_caches()
+    gc.collect()
+    try:
+        g16_secs, g16_gbps = run_gf16_metric(args.iters)
+        g16_secs, g16_gbps = round(g16_secs, 4), round(g16_gbps, 2)
+    except Exception:  # noqa: BLE001 - secondary metric is best-effort
+        g16_secs = g16_gbps = None
 
     gbps = total_bytes / secs / 1e9
     print(json.dumps({
@@ -154,6 +177,8 @@ def main():
                    "decode_2e20_e2e19_seconds": dec_secs,
                    "decode_gb_per_sec": dec_gbps,
                    "decode_locator_host_seconds": loc_secs,
+                   "gf16_encode_2e14_seconds": g16_secs,
+                   "gf16_encode_gb_per_sec": g16_gbps,
                    "device": str(jax.devices()[0]).strip()},
     }))
 
