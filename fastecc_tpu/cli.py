@@ -168,12 +168,11 @@ def cmd_decode_bench(args):
 # file-level encode / recover (the product path, end to end)
 # ---------------------------------------------------------------------------
 
-def _file_blocks(path: pathlib.Path):
-    from .packing import BLOCK_BYTES
+def _file_blocks(path: pathlib.Path, block_bytes: int):
     raw = np.fromfile(path, dtype=np.uint8)
-    k_data = max(1, -(-raw.size // BLOCK_BYTES))
+    k_data = max(1, -(-raw.size // block_bytes))
     k = 1 << (k_data - 1).bit_length()           # round up to power of two
-    blocks = np.zeros((k, BLOCK_BYTES), np.uint8)
+    blocks = np.zeros((k, block_bytes), np.uint8)
     blocks.reshape(-1)[: raw.size] = raw
     return blocks, raw.size, k
 
@@ -185,7 +184,7 @@ def cmd_encode(args):
     src = pathlib.Path(args.file)
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
-    blocks, size, k = _file_blocks(src)
+    blocks, size, k = _file_blocks(src, args.block_bytes)
     n = 2 * k
     parity = np.asarray(rs.encode_blocks_jit(jnp.asarray(blocks), field, n))
     dpos, ppos = rs.data_positions(n, k), rs.parity_positions(n, k)
@@ -206,6 +205,7 @@ def cmd_encode(args):
     (out / "manifest.json").write_text(json.dumps({
         "file": src.name, "size": size, "k": k, "n": n,
         "field": field.name, "format": "fastecc-tpu-v1",
+        "block_bytes": args.block_bytes,
         "crc32c": {str(p): t for p, t in tags.items()} or None}))
     print(f"encoded {src} ({size} bytes) -> {k} data + {k} parity blocks "
           f"in {out}")
@@ -234,7 +234,8 @@ def cmd_recover(args):
     lost = n - len(survivors)
     print(f"{len(survivors)}/{n} blocks present ({lost} lost); "
           f"need any {k}")
-    data = dec.decode_blocks(survivors, n, k, field)
+    data = dec.decode_blocks(survivors, n, k, field,
+                             block_bytes=man.get("block_bytes", 4096))
     out = pathlib.Path(args.out)
     out.write_bytes(data.reshape(-1)[:size].tobytes())
     print(f"recovered {man['file']} -> {out} ({size} bytes)")
@@ -341,6 +342,9 @@ def main(argv=None):
     p = sub.add_parser("encode", help="encode a file into data+parity blocks")
     p.add_argument("file")
     p.add_argument("-o", "--out", required=True, help="output directory")
+    p.add_argument("--block-bytes", type=int, default=4096,
+                   help="wire block size (reference `rs` SIZE arg); "
+                        "multiple of 4 for GF32, 2 for GF16")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("recover", help="recover a file from survivors")

@@ -329,22 +329,25 @@ decode_jit = jax.jit(decode, static_argnames=("field",))
 # Block-level (wire format) decode.
 # ---------------------------------------------------------------------------
 
-def decode_blocks(survivors: dict, n: int, k: int, field: FieldSpec):
+def decode_blocks(survivors: dict, n: int, k: int, field: FieldSpec,
+                  block_bytes: int = packing.BLOCK_BYTES):
     """Recover all k data blocks from any >= k surviving codeword blocks.
 
     Args:
       survivors: {codeword_position: bytes-like} — data positions hold raw
-        4096-byte blocks, parity positions hold 4352-byte wire parity.
+        block_bytes-byte blocks, parity positions hold
+        parity_bytes(field, block_bytes) wire parity.
       n, k: code parameters (k | n, powers of two).
       field: field spec.
+      block_bytes: wire block size (default 4096).
 
     Returns:
-      [k, 4096] uint8 array of the original data blocks.
+      [k, block_bytes] uint8 array of the original data blocks.
     """
     assert len(survivors) >= k, (
         f"unrecoverable: {len(survivors)} survivors < k={k}")
     from . import host
-    lanes = packing.field_lanes(field)
+    lanes = packing.field_lanes(field, block_bytes)
     dpos = set(data_positions(n, k).tolist())
     cw = np.zeros((n, lanes), dtype=np.uint32)
     present = np.zeros(n, dtype=bool)
@@ -353,16 +356,17 @@ def decode_blocks(survivors: dict, n: int, k: int, field: FieldSpec):
     for pos, blob in survivors.items():
         raw = np.frombuffer(bytes(blob), dtype=np.uint8)
         if pos in dpos:
-            assert raw.size == packing.BLOCK_BYTES, f"bad data block @ {pos}"
+            assert raw.size == block_bytes, f"bad data block @ {pos}"
             d_items.append((pos, raw))
         else:
-            assert raw.size == packing.parity_bytes(field), (
+            assert raw.size == packing.parity_bytes(field, block_bytes), (
                 f"bad parity block @ {pos}")
             p_items.append((pos, raw))
         present[pos] = True
 
-    # batch (un)pack per kind: native OpenMP path if built, else one jnp call
-    native = host.available()
+    # batch (un)pack per kind: native OpenMP path if built (4KB wire format
+    # only — the C loops are specialized), else one jnp call
+    native = host.available() and block_bytes == packing.BLOCK_BYTES
     if d_items:
         arr = np.stack([r for _, r in d_items])
         packed = (host.pack_data(arr, field) if native else

@@ -1,30 +1,37 @@
 """Raw-bytes <-> field-element packing ("word escaping", SURVEY.md C13).
 
-The codec operates on field elements < p, but a 4KB data block is arbitrary
+The codec operates on field elements < p, but a data block is arbitrary
 bytes: for GF32 (p = 0xFFF00001) a uint32 word >= p occurs in real data far
 more often than the random-data estimate (about 6% of words in compiled
 binaries, because 0xFFFFFFFF padding is common). The reference README
 discusses an escape mapping; its exact mechanism is unavailable (reference
 mount empty, SURVEY.md §0), so this module pins OUR deterministic scheme,
-which is part of the codec's bit-exactness contract:
+which is part of the codec's bit-exactness contract.
 
-GF32 data blocks (4096 bytes -> 1088 field lanes):
-  * 1024 little-endian uint32 words w_i.
+Block size is a parameter (the reference `rs` binary takes SIZE on the
+command line); the default wire format uses 4096-byte blocks. For a block
+of B bytes:
+
+GF32 data blocks (B bytes -> B/4 + ceil(B/4/16) field lanes):
+  * W = B/4 little-endian uint32 words w_i (B must be a multiple of 4).
   * escape bit e_i = (w_i >= p); stored lane s_i = w_i - e_i * p
     (note w - p < 2^20 - 1 < p, so s_i is always a valid field element).
-  * the 1024 escape bits are appended as 64 extra lanes, 16 bits per lane
-    (lane 1024 + m holds bits for words m*16 .. m*16+15, bit j <-> word
-    m*16 + j). 16-bit values are always < p.
-  All 1088 lanes are independent codewords, so erased data blocks recover
+  * the W escape bits are appended as ceil(W/16) extra lanes, 16 bits per
+    lane (lane W + m holds bits for words m*16 .. m*16+15, bit j <-> word
+    m*16 + j; trailing bits of the last lane are zero). 16-bit values are
+    always < p.
+  All lanes are independent codewords, so erased data blocks recover
   exactly, bitmap included. Parity blocks are field vectors of the same
-  1088 lanes; every value < p < 2^32 fits in 4 wire bytes (no escaping),
-  giving a 4352-byte parity block (6.25% overhead for the escape channel).
+  lane count; every value < p < 2^32 fits in 4 wire bytes (no escaping),
+  giving a 4*(W + ceil(W/16))-byte parity block (~6.25% overhead for the
+  escape channel). B = 4096: 1088 lanes, 4352-byte parity.
 
-GF16 data blocks (4096 bytes -> 2048 field lanes):
-  * 2048 little-endian uint16 words, all < p = 0x10001: no escaping needed.
-  * parity field elements can take the value 0x10000, which does not fit in
-    a uint16: parity serialization stores 0 in the word and sets a bit in a
-    2048-bit bitmap appended as 128 uint16 words -> 4352-byte parity block.
+GF16 data blocks (B bytes -> B/2 field lanes):
+  * W = B/2 little-endian uint16 words, all < p = 0x10001: no escaping.
+  * parity field elements can take the value 0x10000, which does not fit
+    in a uint16: parity serialization stores 0 in the word and sets a bit
+    in a W-bit bitmap appended as ceil(W/16) uint16 words ->
+    2*(W + ceil(W/16))-byte parity block. B = 4096: 4352-byte parity.
 """
 
 from __future__ import annotations
@@ -33,19 +40,34 @@ import jax.numpy as jnp
 
 from .fields import FieldSpec, GF16, GF32
 
-BLOCK_BYTES = 4096
+BLOCK_BYTES = 4096  # default wire-format block size
 
 _U32 = jnp.uint32
 
 
-def field_lanes(field: FieldSpec) -> int:
-    """Number of field-element lanes a 4KB data block maps to."""
-    return 1088 if field.use_mont else 2048
+def _word_count(field: FieldSpec, block_bytes: int) -> int:
+    wb = 4 if field.use_mont else 2
+    assert block_bytes % wb == 0, (
+        f"{field.name} needs block_bytes % {wb} == 0, got {block_bytes}")
+    return block_bytes // wb
 
 
-def parity_bytes(field: FieldSpec) -> int:
+def _bitmap_lanes(words: int) -> int:
+    return -(-words // 16)
+
+
+def field_lanes(field: FieldSpec, block_bytes: int = BLOCK_BYTES) -> int:
+    """Number of field-element lanes a data block maps to."""
+    w = _word_count(field, block_bytes)
+    return w + _bitmap_lanes(w) if field.use_mont else w
+
+
+def parity_bytes(field: FieldSpec, block_bytes: int = BLOCK_BYTES) -> int:
     """Wire size of one serialized parity block."""
-    return 4352  # both fields, by coincidence of the two layouts
+    w = _word_count(field, block_bytes)
+    if field.use_mont:
+        return 4 * (w + _bitmap_lanes(w))
+    return 2 * (w + _bitmap_lanes(w))
 
 
 def _bytes_to_u32(raw, word_bytes: int):
@@ -67,19 +89,27 @@ def _u32_to_bytes(words, word_bytes: int):
 
 
 def _pack_bits(bits, group: int):
-    """[..., L] 0/1 uint32 -> [..., L/group] words (bit j of word m is
-    element m*group + j)."""
+    """[..., L] 0/1 uint32 -> [..., ceil(L/group)] words (bit j of word m
+    is element m*group + j; trailing bits zero)."""
+    length = bits.shape[-1]
+    pad = (-length) % group
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros(bits.shape[:-1] + (pad,), jnp.uint32)], axis=-1)
     shape = bits.shape[:-1] + (bits.shape[-1] // group, group)
     b = bits.reshape(shape)
     shifts = jnp.arange(group, dtype=jnp.uint32)
     return jnp.sum(b << shifts, axis=-1, dtype=jnp.uint32)
 
 
-def _unpack_bits(words, group: int):
-    """Inverse of :func:`_pack_bits`."""
+def _unpack_bits(words, group: int, length: int | None = None):
+    """Inverse of :func:`_pack_bits` (truncated to ``length`` elements)."""
     shifts = jnp.arange(group, dtype=jnp.uint32)
     bits = (words[..., None] >> shifts) & _U32(1)
-    return bits.reshape(words.shape[:-1] + (words.shape[-1] * group,))
+    flat = bits.reshape(words.shape[:-1] + (words.shape[-1] * group,))
+    if length is not None:
+        flat = flat[..., :length]
+    return flat
 
 
 # ---------------------------------------------------------------------------
@@ -87,25 +117,37 @@ def _unpack_bits(words, group: int):
 # ---------------------------------------------------------------------------
 
 def pack_data(raw, field: FieldSpec):
-    """[k, 4096] uint8 -> [k, field_lanes] uint32 field elements."""
-    assert raw.shape[-1] == BLOCK_BYTES and raw.dtype == jnp.uint8
+    """[k, B] uint8 -> [k, field_lanes(field, B)] uint32 field elements."""
+    assert raw.dtype == jnp.uint8
     if field is GF16 or not field.use_mont:
         return _bytes_to_u32(raw, 2)
-    words = _bytes_to_u32(raw, 4)                      # [k, 1024]
+    words = _bytes_to_u32(raw, 4)                      # [k, W]
     esc = (words >= _U32(field.p)).astype(jnp.uint32)
     stored = words - esc * _U32(field.p)
-    bitmap = _pack_bits(esc, 16)                       # [k, 64], each < 2^16
-    return jnp.concatenate([stored, bitmap], axis=-1)  # [k, 1088]
+    bitmap = _pack_bits(esc, 16)                       # [k, ceil(W/16)]
+    return jnp.concatenate([stored, bitmap], axis=-1)
 
 
 def unpack_data(fields, field: FieldSpec):
-    """[k, field_lanes] uint32 field elements -> [k, 4096] uint8."""
+    """[k, field_lanes] uint32 field elements -> [k, B] uint8."""
     if not field.use_mont:
         return _u32_to_bytes(fields, 2)
-    stored, bitmap = fields[..., :1024], fields[..., 1024:]
-    esc = _unpack_bits(bitmap, 16)
+    lanes = fields.shape[-1]
+    # lanes = W + ceil(W/16)  =>  W = the unique solution
+    words_n = _words_from_lanes(lanes)
+    stored, bitmap = fields[..., :words_n], fields[..., words_n:]
+    esc = _unpack_bits(bitmap, 16, words_n)
     words = stored + esc * _U32(field.p)
     return _u32_to_bytes(words, 4)
+
+
+def _words_from_lanes(lanes: int) -> int:
+    """Invert lanes = W + ceil(W/16): W = floor(lanes * 16 / 17) fixed up."""
+    w = lanes * 16 // 17
+    while w + _bitmap_lanes(w) < lanes:
+        w += 1
+    assert w + _bitmap_lanes(w) == lanes, f"invalid lane count {lanes}"
+    return w
 
 
 # ---------------------------------------------------------------------------
@@ -113,22 +155,22 @@ def unpack_data(fields, field: FieldSpec):
 # ---------------------------------------------------------------------------
 
 def serialize_parity(fields, field: FieldSpec):
-    """[m, field_lanes] uint32 field elements -> [m, 4352] uint8."""
+    """[m, field_lanes] uint32 field elements -> [m, parity_bytes] uint8."""
     if field.use_mont:
-        return _u32_to_bytes(fields, 4)               # 1088 * 4 = 4352
+        return _u32_to_bytes(fields, 4)
     esc = (fields == _U32(0x10000)).astype(jnp.uint32)
     stored = fields * (_U32(1) - esc)                 # 0 where escaped
-    bitmap = _pack_bits(esc, 16)                      # [m, 128]
-    out = jnp.concatenate([stored, bitmap], axis=-1)  # [m, 2176] u16 values
-    return _u32_to_bytes(out, 2)                      # 2176 * 2 = 4352
+    bitmap = _pack_bits(esc, 16)                      # [m, ceil(W/16)]
+    out = jnp.concatenate([stored, bitmap], axis=-1)  # u16 values
+    return _u32_to_bytes(out, 2)
 
 
 def deserialize_parity(raw, field: FieldSpec):
-    """[m, 4352] uint8 -> [m, field_lanes] uint32 field elements."""
-    assert raw.shape[-1] == parity_bytes(field)
+    """[m, parity_bytes] uint8 -> [m, field_lanes] uint32 field elements."""
     if field.use_mont:
         return _bytes_to_u32(raw, 4)
-    words = _bytes_to_u32(raw, 2)                     # [m, 2176]
-    stored, bitmap = words[..., :2048], words[..., 2048:]
-    esc = _unpack_bits(bitmap, 16)
+    words = _bytes_to_u32(raw, 2)
+    words_n = _words_from_lanes(words.shape[-1])
+    stored, bitmap = words[..., :words_n], words[..., words_n:]
+    esc = _unpack_bits(bitmap, 16, words_n)
     return stored + esc * _U32(0x10000)

@@ -184,7 +184,9 @@ def _pad_lanes(x):
 
 
 def encode_blocks(raw_data, field: FieldSpec, n: int | None = None):
-    """[k, 4096] uint8 data blocks -> [n-k, 4352] uint8 parity blocks."""
+    """[k, B] uint8 data blocks -> [n-k, parity_bytes(field, B)] uint8
+    parity blocks. B is any block size the field supports (multiple of
+    4 for GF32, 2 for GF16); the default wire format uses B = 4096."""
     fields = packing.pack_data(raw_data, field)
     padded, lanes = _pad_lanes(fields)
     parity = encode_parity(padded, field, n)[:, :lanes]

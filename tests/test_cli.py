@@ -50,3 +50,22 @@ def test_recover_insufficient(tmp_path):
         victim.unlink()
     with pytest.raises(AssertionError, match="unrecoverable"):
         main(["recover", str(coded), "-o", str(tmp_path / "r.bin")])
+
+
+def test_file_encode_recover_custom_block_size(tmp_path):
+    """--block-bytes flows through manifest -> recover (reference SIZE arg)."""
+    from fastecc_tpu import cli
+    src = tmp_path / "input.bin"
+    rng = np.random.default_rng(9)
+    src.write_bytes(rng.integers(0, 256, 3000, dtype=np.uint16)
+                    .astype(np.uint8).tobytes())
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out),
+                     "--block-bytes", "512"]) == 0
+    # delete two blocks (k=8 at 512B: 3000 -> 6 blocks -> k=8, n=16)
+    victims = sorted(out.glob("block_*"))[:2]
+    for v in victims:
+        v.unlink()
+    dst = tmp_path / "restored.bin"
+    assert cli.main(["recover", str(out), "-o", str(dst)]) == 0
+    assert dst.read_bytes() == src.read_bytes()

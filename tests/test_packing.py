@@ -64,3 +64,30 @@ def test_gf32_escape_semantics():
     assert bitmap[0] == (1 << 0)          # word 0 escaped
     assert bitmap[17 // 16] == (1 << (17 % 16))
     assert bitmap[999 // 16] == 0
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("block_bytes", [4, 64, 520, 1024, 16384])
+def test_arbitrary_block_size_roundtrip(field, block_bytes):
+    """The reference `rs` binary takes SIZE as an argument: any block size
+    (word-aligned) must pack/unpack and serialize losslessly."""
+    if block_bytes % (4 if field.use_mont else 2):
+        pytest.skip("not word-aligned for this field")
+    k = 8
+    raw = RNG.integers(0, 256, (k, block_bytes), dtype=np.uint16).astype(
+        np.uint8)
+    raw[0, :] = 0xFF  # escape-path stress for GF32
+    lanes = packing.field_lanes(field, block_bytes)
+    packed = packing.pack_data(jnp.asarray(raw), field)
+    assert packed.shape == (k, lanes)
+    back = np.asarray(packing.unpack_data(packed, field))
+    np.testing.assert_array_equal(back, raw)
+    # parity wire roundtrip at the same lane count
+    vals = RNG.integers(0, field.p, (k, lanes), dtype=np.uint64).astype(
+        np.uint32)
+    if not field.use_mont:
+        vals[0, :] = 0x10000  # GF16 escape value stress
+    wire = packing.serialize_parity(jnp.asarray(vals), field)
+    assert wire.shape == (k, packing.parity_bytes(field, block_bytes))
+    again = np.asarray(packing.deserialize_parity(wire, field))
+    np.testing.assert_array_equal(again, vals)
