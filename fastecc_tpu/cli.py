@@ -242,6 +242,70 @@ def cmd_recover(args):
     return 0
 
 
+def cmd_repair(args):
+    """Regenerate missing/corrupt block FILES in a coded directory.
+
+    The storage-maintenance workflow (re-replication after loss): where
+    `recover` reconstructs the original file, `repair` rewrites every
+    missing codeword block — data and parity — so the directory is back
+    at full n-of-n redundancy.
+    """
+    import jax.numpy as jnp
+
+    from . import decode as dec
+    from . import host, packing, rs
+    src = pathlib.Path(args.dir)
+    man = json.loads((src / "manifest.json").read_text())
+    field = _field(man["field"])
+    n, k = man["n"], man["k"]
+    bb = man.get("block_bytes", 4096)
+    survivors = {}
+    for f in sorted(src.glob("block_*.dat")) + sorted(src.glob("block_*.par")):
+        survivors[int(f.stem.split("_")[1])] = f.read_bytes()
+    tags = man.get("crc32c") or {}
+    if tags and (host.available() or host.build()):
+        for p, blob in list(survivors.items()):
+            if str(p) in tags and host.crc32c(blob) != tags[str(p)]:
+                print(f"block {p}: CRC mismatch — regenerating")
+                del survivors[p]
+    missing = sorted(set(range(n)) - set(survivors))
+    if not missing:
+        print("nothing to repair")
+        return 0
+    assert len(survivors) >= k, (
+        f"unrecoverable: {len(survivors)} survivors < k={k}")
+
+    lanes = packing.field_lanes(field, bb)
+    dpos = set(rs.data_positions(n, k).tolist())
+    cw = np.zeros((n, lanes), dtype=np.uint32)
+    for pos, blob in survivors.items():
+        raw = np.frombuffer(blob, dtype=np.uint8)[None]
+        if pos in dpos:
+            cw[pos] = np.asarray(packing.pack_data(jnp.asarray(raw), field))
+        else:
+            cw[pos] = np.asarray(
+                packing.deserialize_parity(jnp.asarray(raw), field))
+    from .rs import _pad_lanes
+    padded, real = _pad_lanes(jnp.asarray(cw))
+    full = np.asarray(dec.decode_host_prepared(
+        padded, np.asarray(missing), field))[:, :real]
+    for pos in missing:
+        row = jnp.asarray(full[pos:pos + 1])
+        if pos in dpos:
+            blob = np.asarray(packing.unpack_data(row, field))[0].tobytes()
+            path = src / f"block_{pos:06d}.dat"
+        else:
+            blob = np.asarray(
+                packing.serialize_parity(row, field))[0].tobytes()
+            path = src / f"block_{pos:06d}.par"
+        if tags and str(pos) in tags:
+            assert host.crc32c(blob) == tags[str(pos)], (
+                f"repaired block {pos} fails its manifest CRC")
+        path.write_bytes(blob)
+    print(f"repaired {len(missing)} blocks in {src}")
+    return 0
+
+
 def cmd_scaling(args):
     """Weak-scaling sweep over mesh sizes (emits BASELINE.md-style rows).
 
@@ -351,6 +415,11 @@ def main(argv=None):
     p.add_argument("dir")
     p.add_argument("-o", "--out", required=True, help="recovered file path")
     p.set_defaults(fn=cmd_recover)
+
+    p = sub.add_parser("repair", help="regenerate missing block files "
+                                      "(back to full n-of-n redundancy)")
+    p.add_argument("dir")
+    p.set_defaults(fn=cmd_repair)
 
     p = sub.add_parser("scaling", help="weak-scaling sweep over mesh sizes")
     p.add_argument("--devices", type=int, default=8)

@@ -260,6 +260,50 @@ def decode_prepared(codeword, mask, l_eval_prep, lp_inv_prep,
 decode_prepared_jit = jax.jit(decode_prepared, static_argnames=("field",))
 
 
+def decode_stream(codeword: np.ndarray, erased_idx, field: FieldSpec,
+                  chunk_lanes: int = 1024,
+                  out: np.ndarray | None = None) -> np.ndarray:
+    """Out-of-core decode for codewords larger than HBM.
+
+    Mirrors rs.encode_parity_stream: the host [n, L] codeword streams
+    through the device in chunk_lanes-wide slices with a depth-2 async
+    pipeline. The locator tables are built once (host, native NTT when
+    available) and reused across every chunk. Bit-identical to
+    decode_host_prepared.
+    """
+    import jax
+
+    n, lanes = codeword.shape
+    erased = np.asarray(erased_idx)
+    chunk_lanes = min(chunk_lanes, lanes)
+    assert lanes % chunk_lanes == 0, (
+        f"chunk_lanes {chunk_lanes} must divide L={lanes}")
+    l_eval, lp_inv = locator_host(erased, n, field)
+    mask = np.zeros(n, np.uint32)
+    mask[erased] = 1
+    maskj = jnp.asarray(mask)
+    lp = jnp.asarray(np.asarray(prepare_consts(field, l_eval)))
+    ip = jnp.asarray(np.asarray(prepare_consts(field, lp_inv)))
+    if out is None:
+        out = np.empty((n, lanes), dtype=np.uint32)
+    pending = []
+
+    def drain(item):
+        off, y = item
+        out[:, off:off + chunk_lanes] = np.asarray(y)  # D2H fence
+
+    for off in range(0, lanes, chunk_lanes):
+        x = jnp.asarray(
+            np.ascontiguousarray(codeword[:, off:off + chunk_lanes]))
+        y = decode_prepared_jit(x, maskj, lp, ip, field)
+        pending.append((off, y))
+        if len(pending) > 2:
+            drain(pending.pop(0))
+    for item in pending:
+        drain(item)
+    return out
+
+
 def decode_host_prepared(codeword, erased_idx, field: FieldSpec):
     """Full decode with host-built locator tables (the fast product path).
 
