@@ -1,0 +1,85 @@
+"""Two-controller (multi-process) sharded codec run — config :11 shape.
+
+Spawns TWO separate OS processes, each owning 4 virtual CPU devices, and
+runs one NTT and one full RS encode over an 8-device mesh whose 'coeff'
+axis spans both processes: the all_to_all transposes cross the process
+boundary over Gloo (the CPU stand-in for DCN). This exercises the real
+multi-controller code path (jax.distributed.initialize +
+make_array_from_callback + cross-process collectives); a TPU pod swaps
+the backend, not the program ([BASELINE] config :11, docs/DISTRIBUTED.md).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    proc_id = int(sys.argv[1]); port = sys.argv[2]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=2, process_id=proc_id)
+    import numpy as np, jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fastecc_tpu.fields import GF32
+    from fastecc_tpu.ntt import ntt_host
+    from fastecc_tpu.parallel import make_mesh
+    from fastecc_tpu.parallel.ntt_dist import (
+        encode_parity_sharded_jit, ntt_sharded_jit)
+
+    assert jax.process_count() == 2 and jax.device_count() == 8
+    mesh = make_mesh(8, 1)              # one transform spans both processes
+    n, lanes = 1 << 10, 8
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, GF32.p, (n, lanes), dtype=np.uint64).astype(
+        np.uint32)
+    sh = NamedSharding(mesh, P("coeff", "block"))
+    xg = jax.make_array_from_callback((n, lanes), sh, lambda i: x[i])
+    y = ntt_sharded_jit(xg, GF32, mesh)
+    want = ntt_host(x, GF32)
+    assert all((np.asarray(s.data) == want[s.index]).all()
+               for s in y.addressable_shards), "NTT shard mismatch"
+
+    k = n // 2
+    dg = jax.make_array_from_callback((k, lanes), sh, lambda i: x[:k][i])
+    par = encode_parity_sharded_jit(dg, GF32, mesh, n)
+    from fastecc_tpu import rs
+    pw = np.asarray(rs.encode_parity_jit(jnp.asarray(x[:k]), GF32, n))
+    assert all((np.asarray(s.data) == pw[s.index]).all()
+               for s in par.addressable_shards), "encode shard mismatch"
+    print(f"proc {proc_id}: OK")
+""")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_controller_sharded_codec(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    port = str(_free_port())
+    env = dict(os.environ)
+    # the workers configure their own backend; drop conftest's influence
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [subprocess.Popen([sys.executable, str(worker), str(i), port],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=550)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"proc {i}: OK" in out
