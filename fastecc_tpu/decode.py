@@ -373,6 +373,49 @@ decode_jit = jax.jit(decode, static_argnames=("field",))
 # Block-level (wire format) decode.
 # ---------------------------------------------------------------------------
 
+def survivors_to_codeword(survivors: dict, n: int, k: int, field: FieldSpec,
+                          block_bytes: int = packing.BLOCK_BYTES):
+    """Parse {position: wire bytes} into a zero-filled [n, lanes] codeword
+    plus a presence mask. Validates every blob's size against its kind
+    (data vs parity) with a per-position message; batch-(un)packs per kind
+    through the native OpenMP path when built (4KB wire format only — the
+    C loops are specialized), else one jnp call each."""
+    from . import host
+    lanes = packing.field_lanes(field, block_bytes)
+    dpos = set(data_positions(n, k).tolist())
+    cw = np.zeros((n, lanes), dtype=np.uint32)
+    present = np.zeros(n, dtype=bool)
+
+    d_items, p_items = [], []
+    for pos, blob in survivors.items():
+        raw = np.frombuffer(bytes(blob), dtype=np.uint8)
+        if pos in dpos:
+            assert raw.size == block_bytes, (
+                f"bad data block @ {pos}: {raw.size} bytes, "
+                f"expected {block_bytes}")
+            d_items.append((pos, raw))
+        else:
+            want = packing.parity_bytes(field, block_bytes)
+            assert raw.size == want, (
+                f"bad parity block @ {pos}: {raw.size} bytes, "
+                f"expected {want}")
+            p_items.append((pos, raw))
+        present[pos] = True
+
+    native = host.available() and block_bytes == packing.BLOCK_BYTES
+    if d_items:
+        arr = np.stack([r for _, r in d_items])
+        packed = (host.pack_data(arr, field) if native else
+                  np.asarray(packing.pack_data(jnp.asarray(arr), field)))
+        cw[[p for p, _ in d_items]] = packed
+    if p_items:
+        arr = np.stack([r for _, r in p_items])
+        des = (host.deserialize_parity(arr, field) if native else
+               np.asarray(packing.deserialize_parity(jnp.asarray(arr),
+                                                     field)))
+        cw[[p for p, _ in p_items]] = des
+    return cw, present
+
 def decode_blocks(survivors: dict, n: int, k: int, field: FieldSpec,
                   block_bytes: int = packing.BLOCK_BYTES):
     """Recover all k data blocks from any >= k surviving codeword blocks.
@@ -390,39 +433,7 @@ def decode_blocks(survivors: dict, n: int, k: int, field: FieldSpec,
     """
     assert len(survivors) >= k, (
         f"unrecoverable: {len(survivors)} survivors < k={k}")
-    from . import host
-    lanes = packing.field_lanes(field, block_bytes)
-    dpos = set(data_positions(n, k).tolist())
-    cw = np.zeros((n, lanes), dtype=np.uint32)
-    present = np.zeros(n, dtype=bool)
-
-    d_items, p_items = [], []
-    for pos, blob in survivors.items():
-        raw = np.frombuffer(bytes(blob), dtype=np.uint8)
-        if pos in dpos:
-            assert raw.size == block_bytes, f"bad data block @ {pos}"
-            d_items.append((pos, raw))
-        else:
-            assert raw.size == packing.parity_bytes(field, block_bytes), (
-                f"bad parity block @ {pos}")
-            p_items.append((pos, raw))
-        present[pos] = True
-
-    # batch (un)pack per kind: native OpenMP path if built (4KB wire format
-    # only — the C loops are specialized), else one jnp call
-    native = host.available() and block_bytes == packing.BLOCK_BYTES
-    if d_items:
-        arr = np.stack([r for _, r in d_items])
-        packed = (host.pack_data(arr, field) if native else
-                  np.asarray(packing.pack_data(jnp.asarray(arr), field)))
-        cw[[p for p, _ in d_items]] = packed
-    if p_items:
-        arr = np.stack([r for _, r in p_items])
-        des = (host.deserialize_parity(arr, field) if native else
-               np.asarray(packing.deserialize_parity(jnp.asarray(arr),
-                                                     field)))
-        cw[[p for p, _ in p_items]] = des
-
+    cw, present = survivors_to_codeword(survivors, n, k, field, block_bytes)
     erased = np.nonzero(~present)[0]
     if erased.size:
         from .rs import _pad_lanes

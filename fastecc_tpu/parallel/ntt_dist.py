@@ -38,18 +38,26 @@ from ..ntt import _four_step_twiddles, _log2, mul_prepared, ntt, ntt_auto
 from ..rs import _check_kn, _coset_twiddles
 
 
-def _local_ntt(y, field: FieldSpec, inverse: bool):
+def _local_ntt(y, field: FieldSpec, inverse: bool, use_pallas: bool):
     """Per-device NTT along axis 0 of a [T, A, L] shard-local block.
 
-    Trailing axes are independent lanes, so flatten them and go through
-    ntt_auto — on TPU that is the fused two-pass Pallas kernel (the staged
-    jnp path would cost log2(T) HBM passes per local transform); on CPU
-    and for unsupported shapes it falls back to staged jnp. Bit-exact
-    either way.
+    Trailing axes are independent lanes, so flatten them and run the fused
+    two-pass Pallas kernel when the MESH devices are TPUs (the staged jnp
+    path would cost log2(T) HBM passes per local transform); on CPU
+    meshes and for unsupported shapes, the staged jnp path. Bit-exact
+    either way. ``use_pallas`` must come from the mesh's device platform,
+    NOT jax.default_backend(): a CPU-device mesh on a TPU-default process
+    (cli scaling / dryrun on a short-chip host) would otherwise emit
+    pallas_call into a CPU compilation and fail.
     """
+    from ..kernels import ntt_mfa
+
     t, a, lanes = y.shape
-    out = ntt_auto(y.reshape(t, a * lanes), field, inverse=inverse,
-                   scale=False)
+    y2 = y.reshape(t, a * lanes)
+    if use_pallas and ntt_mfa._supported(t, a * lanes):
+        out = ntt_mfa.ntt_pallas(y2, field, inverse=inverse, scale=False)
+    else:
+        out = ntt(y2, field, inverse=inverse, scale=False)
     return out.reshape(t, a, lanes)
 
 
@@ -76,22 +84,27 @@ def ntt_sharded(x, field: FieldSpec, mesh: Mesh, inverse: bool = False,
     n = x.shape[0]
     d = mesh.shape["coeff"]
     if d == 1:
-        out = ntt(x, field, inverse=inverse, scale=scale)
+        use_pallas = mesh.devices.flat[0].platform == "tpu"
+        out = _local_ntt(x[:, None, :], field, inverse,
+                         use_pallas)[:, 0, :]
+        if inverse and scale:
+            out = gf.mul_const(field, out, field.inv_host(n))
         return jax.lax.with_sharding_constraint(
             out, NamedSharding(mesh, P("coeff", "block")))
     c_dim, r_dim = _split_dims(n, d, c_dim)
     tw = jnp.asarray(_four_step_twiddles(field.name, n, c_dim, inverse))
+    use_pallas = mesh.devices.flat[0].platform == "tpu"
 
     def body(xl, twl):
         # xl: [C/D, R, L_b] (c-slab), twl: [C, R/D] (r-slab of the table)
         y = jax.lax.all_to_all(xl, "coeff", split_axis=1, concat_axis=0,
                                tiled=True)               # [C, R/D, L_b]
-        y = _local_ntt(y, field, inverse)                # axis 0: c -> k_c
+        y = _local_ntt(y, field, inverse, use_pallas)    # axis 0: c -> k_c
         y = mul_prepared(field, y, twl[:, :, None])      # w_N^(k_c * r)
         y = jax.lax.all_to_all(y, "coeff", split_axis=0, concat_axis=1,
                                tiled=True)               # [C/D, R, L_b]
         y = jnp.moveaxis(y, 1, 0)                        # [R, C/D, L_b]
-        y = _local_ntt(y, field, inverse)                # axis 0: r -> k_r
+        y = _local_ntt(y, field, inverse, use_pallas)    # axis 0: r -> k_r
         y = jax.lax.all_to_all(y, "coeff", split_axis=0, concat_axis=1,
                                tiled=True)               # [R/D, C, L_b]
         # local slab is k = k_c + C*k_r for k_r in this device's range:

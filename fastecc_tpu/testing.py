@@ -25,6 +25,7 @@ def burst_erasures(n: int, e: int, start: int | None = None,
 
     Wraps around n. ``start`` random unless given.
     """
+    assert e <= n, f"burst of {e} exceeds n={n} (positions must be unique)"
     if start is None:
         start = int(np.random.default_rng(seed).integers(0, n))
     return np.sort((start + np.arange(e)) % n)
@@ -35,7 +36,7 @@ def stride_erasures(n: int, e: int, stride: int, offset: int = 0
     """Every stride-th position (structured loss, e.g. one device of a
     sharded layout). Requires e * stride <= n."""
     assert e * stride <= n
-    return (offset + np.arange(e) * stride) % n
+    return np.sort((offset + np.arange(e) * stride) % n)
 
 
 def all_parity_erasures(n: int, k: int) -> np.ndarray:

@@ -5,10 +5,33 @@
 
 from __future__ import annotations
 
+import os
+import re
 import time
 
 import numpy as np
 import jax
+
+
+def ensure_host_device_flag(count: int) -> None:
+    """Guarantee XLA_FLAGS requests >= count virtual CPU devices.
+
+    Replaces an existing --xla_force_host_platform_device_count value if
+    it is smaller (a plain substring check would silently keep a stale
+    smaller value from the environment). Must run before the CPU client
+    is first created; harmless for real-hardware platforms.
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    m = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+    if m:
+        if int(m.group(1)) >= count:
+            return
+        flags = flags.replace(
+            m.group(0), f"--xla_force_host_platform_device_count={count}")
+    else:
+        flags = (flags
+                 + f" --xla_force_host_platform_device_count={count}").strip()
+    os.environ["XLA_FLAGS"] = flags
 
 
 def fence(out):

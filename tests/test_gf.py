@@ -115,3 +115,29 @@ def test_field_constants():
         for lg in range(1, f.max_log2):
             w2 = f.root_of_order(1 << (lg + 1))
             assert (w2 * w2) % f.p == f.root_of_order(1 << lg) % f.p
+
+
+def test_generic_redc_branch_non_solinas_prime():
+    """GF32's p takes the multiplier-free Solinas REDC; the generic
+    n'-multiply branch must stay correct for other Montgomery moduli
+    (exercised here with p = 3*2^30 + 1, a classic NTT prime)."""
+    import jax.numpy as jnp
+    from fastecc_tpu.fields import FieldSpec
+    from fastecc_tpu import gf
+    p = 3 * (1 << 30) + 1
+    field = FieldSpec(
+        name="GF_P3", p=p, bits=32, g=5, max_log2=30, use_mont=True,
+        r_mod_p=(1 << 32) % p, r2_mod_p=(1 << 64) % p,
+        n_prime=(-pow(p, -1, 1 << 32)) % (1 << 32))
+    rng = np.random.default_rng(77)
+    a = rng.integers(0, p, 100000, dtype=np.uint64).astype(np.uint32)
+    b = rng.integers(0, p, 100000, dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(gf.mont_mul(field, jnp.asarray(a), jnp.asarray(b)))
+    rinv = pow(1 << 32, p - 2, p)
+    want = (a.astype(object) * b.astype(object) * rinv) % p
+    assert (got.astype(object) == want).all()
+    # full mul + add/sub round out the non-Solinas path
+    gm = np.asarray(gf.mul(field, jnp.asarray(a), jnp.asarray(b)))
+    assert (gm.astype(object) == (a.astype(object) * b) % p).all()
+    ga = np.asarray(gf.add(field, jnp.asarray(a), jnp.asarray(b)))
+    assert (ga.astype(object) == (a.astype(object) + b) % p).all()
