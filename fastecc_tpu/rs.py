@@ -123,6 +123,75 @@ encode_parity_jit = jax.jit(
     encode_parity, static_argnames=("field", "n", "lane_chunks"))
 
 
+@functools.lru_cache(maxsize=None)
+def _update_row_consts(field_name: str, n: int, k: int, i: int):
+    """Prepared [n-k] vector v with v[r] = L_i(y_r): the parity response
+    to a unit change of data block i (rows in encode_parity order).
+
+    Closed form for data on the order-k subgroup x_m = w_k^m and parity
+    at y = w_n^(coset) points: the node polynomial is Z(x) = x^k - 1, so
+        L_i(y) = (y^k - 1) * x_i / (k * (y - x_i))
+    using Z'(x_i) = k / x_i. For n = 2k every parity point has
+    y^k = -1 (y^k - 1 = -2); the general-coset form is computed directly.
+    """
+    field = FIELDS[field_name]
+    p = field.p
+    c = n // k
+    w_n = field.root_of_order(n)
+    x_i = field.pow_host(field.root_of_order(k), i)
+    k_inv = field.inv_host(k)
+    vals = np.empty(n - k, dtype=np.uint32)
+    pos = parity_positions(n, k)
+    for row, j in enumerate(pos):
+        y = field.pow_host(w_n, int(j))
+        num = (field.pow_host(y, k) - 1) * x_i % p
+        den = k * (y - x_i) % p
+        vals[row] = num * field.inv_host(den) % p
+    return np.asarray(prepare_consts(field, vals))
+
+
+def update_parity(parity, i: int, old_block, new_block, field: FieldSpec,
+                  n: int | None = None):
+    """Incrementally update parity after data block ``i`` changes.
+
+    The code is linear, so parity' = parity + L_i(y) * (new - old): an
+    O((n-k) * lanes) rank-1 update instead of a full O(n log n * lanes)
+    re-encode — the RAID-style partial-stripe write. ``parity`` is the
+    [n-k, L] array in encode_parity row order; ``old_block``/``new_block``
+    are the [L] (or [1, L]) field rows of data block i. Bit-exact equal
+    to re-encoding the modified data (test-enforced).
+    """
+    m = parity.shape[0]
+    n = 2 * m if n is None else n
+    k = n - m
+    _check_kn(k, n)
+    assert 0 <= i < k
+    delta = gf.sub(field, jnp.asarray(new_block), jnp.asarray(old_block))
+    delta = delta.reshape((1,) + delta.shape[-1:])
+    v = jnp.asarray(_update_row_consts(field.name, n, k, i))
+    contrib = mul_prepared(field, delta, v[:, None])   # [n-k, L]
+    return gf.add(field, parity, contrib)
+
+
+update_parity_jit = jax.jit(update_parity,
+                            static_argnames=("i", "field", "n"))
+
+
+def verify_codeword(codeword, field: FieldSpec, k: int):
+    """Consistency check: True iff every lane is a valid codeword
+    (evaluations of a degree-<k polynomial), i.e. iNTT_n(cw)[k:] == 0.
+
+    One n-point transform; detects any corruption short of a consistent
+    re-encode. Returns a scalar bool (all lanes)."""
+    coeffs = ntt_auto(jnp.asarray(codeword), field, inverse=True,
+                      scale=False)  # scale can't turn nonzero into zero
+    return jnp.all(coeffs[k:] == 0)
+
+
+verify_codeword_jit = jax.jit(verify_codeword,
+                              static_argnames=("field", "k"))
+
+
 def encode_parity_stream(data: np.ndarray, field: FieldSpec,
                          n: int | None = None, chunk_lanes: int = 1024,
                          out: np.ndarray | None = None) -> np.ndarray:

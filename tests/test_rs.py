@@ -140,3 +140,31 @@ def test_stream_encode_bit_identical(field):
     # chunk wider than L: single chunk path
     got1 = rs.encode_parity_stream(data, field, chunk_lanes=1024)
     np.testing.assert_array_equal(got1, want)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("n,k", [(32, 16), (64, 16)])
+def test_update_parity_matches_reencode(field, n, k):
+    """Rank-1 incremental parity update == full re-encode (linearity)."""
+    lanes = 5
+    data = rand_field(field, (k, lanes))
+    parity = rs.encode_parity_jit(jnp.asarray(data), field, n)
+    for i in (0, 3, k - 1):
+        new_row = rand_field(field, (lanes,))
+        upd = np.asarray(rs.update_parity(
+            parity, i, data[i], new_row, field, n))
+        data2 = data.copy()
+        data2[i] = new_row
+        want = np.asarray(rs.encode_parity_jit(jnp.asarray(data2), field, n))
+        np.testing.assert_array_equal(upd, want)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_verify_codeword(field):
+    k, lanes = 64, 4
+    data = rand_field(field, (k, lanes))
+    cw = rs.encode_jit(jnp.asarray(data), field, 2 * k)
+    assert bool(rs.verify_codeword(cw, field, k))
+    bad = np.asarray(cw).copy()
+    bad[7, 2] ^= 1
+    assert not bool(rs.verify_codeword(jnp.asarray(bad), field, k))
