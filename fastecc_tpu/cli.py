@@ -261,6 +261,52 @@ def cmd_recover(args):
     return 0
 
 
+def cmd_check(args):
+    """Audit a coded directory: CRC every block file, then (if complete)
+    verify the algebraic codeword property in one inverse transform.
+
+    Exit 0 = healthy; 1 = degraded but recoverable (>= k survivors);
+    2 = unrecoverable.
+    """
+    import jax.numpy as jnp
+
+    from . import decode as dec
+    from . import host, rs
+    src = pathlib.Path(args.dir)
+    man = json.loads((src / "manifest.json").read_text())
+    field = _field(man["field"])
+    n, k = man["n"], man["k"]
+    bb = man.get("block_bytes", 4096)
+    survivors = {}
+    for f in sorted(src.glob("block_*.dat")) + sorted(src.glob("block_*.par")):
+        survivors[int(f.stem.split("_")[1])] = f.read_bytes()
+    tags = man.get("crc32c") or {}
+    crc_bad = []
+    if tags and (host.available() or host.build()):
+        for p, blob in list(survivors.items()):
+            if str(p) in tags and host.crc32c(blob) != tags[str(p)]:
+                crc_bad.append(p)
+                del survivors[p]
+    missing = sorted(set(range(n)) - set(survivors))
+    consistent = None
+    if not missing:
+        cw, _ = dec.survivors_to_codeword(survivors, n, k, field, bb)
+        from .rs import _pad_lanes
+        padded, _ = _pad_lanes(jnp.asarray(cw))
+        consistent = bool(rs.verify_codeword_jit(padded, field, k))
+    healthy = not missing and consistent is not False
+    print(json.dumps({
+        "n": n, "k": k, "present": len(survivors),
+        "crc_failures": crc_bad, "missing_or_corrupt": missing,
+        "codeword_consistent": consistent,
+        "recoverable": len(survivors) >= k,
+        "status": ("healthy" if healthy else
+                   "degraded" if len(survivors) >= k else "unrecoverable")}))
+    if healthy:
+        return 0
+    return 1 if len(survivors) >= k else 2
+
+
 def cmd_repair(args):
     """Regenerate missing/corrupt block FILES in a coded directory.
 
@@ -423,6 +469,11 @@ def main(argv=None):
     p.add_argument("dir")
     p.add_argument("-o", "--out", required=True, help="recovered file path")
     p.set_defaults(fn=cmd_recover)
+
+    p = sub.add_parser("check", help="audit a coded directory (CRC + "
+                                     "algebraic consistency)")
+    p.add_argument("dir")
+    p.set_defaults(fn=cmd_check)
 
     p = sub.add_parser("repair", help="regenerate missing block files "
                                       "(back to full n-of-n redundancy)")

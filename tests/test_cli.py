@@ -116,3 +116,21 @@ def test_decode_stream_bit_identical():
     got = dec.decode_stream(garbled, erased, GF32, chunk_lanes=16)
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(got, cw)
+
+
+def test_check_audit_states(tmp_path):
+    """check: healthy -> silent corruption caught -> degraded -> repaired."""
+    from fastecc_tpu import cli
+    src = tmp_path / "input.bin"
+    src.write_bytes(np.random.default_rng(5).integers(
+        0, 256, 4000, dtype=np.uint16).astype(np.uint8).tobytes())
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    assert cli.main(["check", str(out)]) == 0            # healthy
+    victim = sorted(out.glob("block_*.par"))[0]
+    blob = bytearray(victim.read_bytes())
+    blob[100] ^= 0xFF
+    victim.write_bytes(bytes(blob))                      # silent corruption
+    assert cli.main(["check", str(out)]) == 1            # degraded (CRC)
+    assert cli.main(["repair", str(out)]) == 0
+    assert cli.main(["check", str(out)]) == 0            # healthy again
