@@ -83,3 +83,36 @@ def test_native_mulmod_matches_numpy():
     b = RNG.integers(0, GF32.p, 4096, dtype=np.uint64).astype(np.uint32)
     want = (a.astype(np.uint64) * b % np.uint64(GF32.p)).astype(np.uint32)
     np.testing.assert_array_equal(host.mulmod(a, b, GF32), want)
+
+
+def test_native_ntt_multithreaded_chunking():
+    """The per-thread incremental-twiddle chunking must be bit-exact for
+    thread counts that do not divide the butterfly rows. OMP_NUM_THREADS
+    must be set before the OpenMP runtime spins up, so run in a
+    subprocess."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+    code = textwrap.dedent("""
+        import numpy as np
+        from fastecc_tpu import host
+        from fastecc_tpu.fields import GF32, GF16
+        from fastecc_tpu.ntt import ntt_host
+        rng = np.random.default_rng(6)
+        for field in (GF32, GF16):
+            for shape in ((512, 3), (2048,), (64, 5)):
+                x = rng.integers(0, field.p, shape,
+                                 dtype=np.uint64).astype(np.uint32)
+                for inv in (False, True):
+                    a = host.ntt(x, field, inverse=inv)
+                    b = ntt_host(x, field, inverse=inv)
+                    assert (a == b).all()
+        print("OK")
+    """)
+    env = dict(os.environ, OMP_NUM_THREADS="7",
+               PYTHONPATH=os.path.dirname(os.path.dirname(__file__))
+               + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0 and "OK" in out.stdout, out.stdout + out.stderr
