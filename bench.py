@@ -57,7 +57,6 @@ def run_decode_metric(iters: int):
 
     from fastecc_tpu import decode as dec
     from fastecc_tpu import rs
-    from fastecc_tpu.ntt import prepare_consts
 
     n, e, lanes = 1 << 20, 1 << 19, 512
     data = make_data(n // 2, lanes)
@@ -66,13 +65,8 @@ def run_decode_metric(iters: int):
     rng = np.random.default_rng(1)
     erased = np.sort(rng.choice(n, size=e, replace=False))
     t0 = time.perf_counter()
-    l_eval, lp_inv = dec.locator_host(erased, n, GF32)
+    args = (cw,) + dec.prepare_decode_tables(erased, n, GF32)
     loc_secs = time.perf_counter() - t0
-    mask = np.zeros(n, np.uint32)
-    mask[erased] = 1
-    args = (cw, jnp.asarray(mask),
-            jnp.asarray(np.asarray(prepare_consts(GF32, l_eval))),
-            jnp.asarray(np.asarray(prepare_consts(GF32, lp_inv))))
     secs = time_fn(lambda *a: dec.decode_prepared_jit(*a, GF32), *args,
                    iters=iters)
     del cw, args

@@ -159,15 +159,9 @@ def cmd_decode_bench(args):
     else:
         # product path: build the locator tables ONCE (their one-time cost
         # reports separately), then time the steady-state device program
-        from .ntt import prepare_consts
         t0 = time.perf_counter()
-        l_eval, lp_inv = dec.locator_host(erased, n, field)
+        targs = dec.prepare_decode_tables(erased, n, field)
         loc_secs = round(time.perf_counter() - t0, 3)
-        mask = np.zeros(n, np.uint32)
-        mask[erased] = 1
-        targs = (jnp.asarray(mask),
-                 jnp.asarray(np.asarray(prepare_consts(field, l_eval))),
-                 jnp.asarray(np.asarray(prepare_consts(field, lp_inv))))
         fn = lambda c: dec.decode_prepared_jit(c, *targs, field)
         secs = time_fn(fn, gj, iters=args.iters)
         out = np.asarray(fn(gj))
@@ -187,6 +181,49 @@ def cmd_decode_bench(args):
 # file-level encode / recover (the product path, end to end)
 # ---------------------------------------------------------------------------
 
+def _load_survivors(src: pathlib.Path, man: dict, quiet: bool = False):
+    """Scan a coded directory's block files against its manifest.
+
+    Shared by recover/check/repair. Validates each file's position and
+    size and CRC-checks it when the manifest has tags and the native
+    library loads; invalid files are excluded (flagged, never fatal — the
+    caller decides recoverability). Returns (survivors, flagged) where
+    ``flagged`` lists (position, reason) for every excluded file.
+    """
+    from . import host, packing, rs
+    field = _field(man["field"])
+    n, k = man["n"], man["k"]
+    bb = man.get("block_bytes", 4096)
+    dpos = set(rs.data_positions(n, k).tolist())
+    tags = man.get("crc32c") or {}
+    crc = tags and (host.available() or host.build())
+    survivors, flagged = {}, []
+
+    def flag(pos, reason):
+        flagged.append((pos, reason))
+        if not quiet:
+            print(f"block {pos}: {reason} — treating as erased")
+
+    for f in sorted(src.glob("block_*.dat")) + sorted(src.glob("block_*.par")):
+        try:
+            pos = int(f.stem.split("_")[1])
+        except (IndexError, ValueError):
+            continue                      # not ours
+        if not 0 <= pos < n:
+            flag(pos, "position out of range")
+            continue
+        blob = f.read_bytes()
+        want = bb if pos in dpos else packing.parity_bytes(field, bb)
+        if len(blob) != want:
+            flag(pos, f"bad size {len(blob)} != {want}")
+            continue
+        if crc and str(pos) in tags and host.crc32c(blob) != tags[str(pos)]:
+            flag(pos, "CRC mismatch")
+            continue
+        survivors[pos] = blob
+    return survivors, flagged
+
+
 def _file_blocks(path: pathlib.Path, block_bytes: int):
     raw = np.fromfile(path, dtype=np.uint8)
     k_data = max(1, -(-raw.size // block_bytes))
@@ -203,6 +240,9 @@ def cmd_encode(args):
     src = pathlib.Path(args.file)
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+    from .packing import _word_count
+    assert args.block_bytes > 0, "--block-bytes must be positive"
+    _word_count(field, args.block_bytes)   # loud word-alignment check
     blocks, size, k = _file_blocks(src, args.block_bytes)
     n = 2 * k
     parity = np.asarray(rs.encode_blocks_jit(jnp.asarray(blocks), field, n))
@@ -233,23 +273,11 @@ def cmd_encode(args):
 
 def cmd_recover(args):
     from . import decode as dec
-    from . import rs
     src = pathlib.Path(args.dir)
     man = json.loads((src / "manifest.json").read_text())
     field = _field(man["field"])
     n, k, size = man["n"], man["k"], man["size"]
-    survivors = {}
-    for f in sorted(src.glob("block_*.dat")) + sorted(src.glob("block_*.par")):
-        survivors[int(f.stem.split("_")[1])] = f.read_bytes()
-    tags = man.get("crc32c") or {}
-    if tags:
-        from . import host
-        if host.available() or host.build():
-            corrupt = [p for p, blob in survivors.items()
-                       if str(p) in tags and host.crc32c(blob) != tags[str(p)]]
-            for p in corrupt:
-                print(f"block {p}: CRC mismatch — treating as erased")
-                del survivors[p]
+    survivors, _ = _load_survivors(src, man)
     lost = n - len(survivors)
     print(f"{len(survivors)}/{n} blocks present ({lost} lost); "
           f"need any {k}")
@@ -271,22 +299,13 @@ def cmd_check(args):
     import jax.numpy as jnp
 
     from . import decode as dec
-    from . import host, rs
+    from . import rs
     src = pathlib.Path(args.dir)
     man = json.loads((src / "manifest.json").read_text())
     field = _field(man["field"])
     n, k = man["n"], man["k"]
     bb = man.get("block_bytes", 4096)
-    survivors = {}
-    for f in sorted(src.glob("block_*.dat")) + sorted(src.glob("block_*.par")):
-        survivors[int(f.stem.split("_")[1])] = f.read_bytes()
-    tags = man.get("crc32c") or {}
-    crc_bad = []
-    if tags and (host.available() or host.build()):
-        for p, blob in list(survivors.items()):
-            if str(p) in tags and host.crc32c(blob) != tags[str(p)]:
-                crc_bad.append(p)
-                del survivors[p]
+    survivors, flagged = _load_survivors(src, man, quiet=True)
     missing = sorted(set(range(n)) - set(survivors))
     consistent = None
     if not missing:
@@ -297,7 +316,8 @@ def cmd_check(args):
     healthy = not missing and consistent is not False
     print(json.dumps({
         "n": n, "k": k, "present": len(survivors),
-        "crc_failures": crc_bad, "missing_or_corrupt": missing,
+        "flagged": [[p, why] for p, why in flagged],
+        "missing_or_corrupt": missing,
         "codeword_consistent": consistent,
         "recoverable": len(survivors) >= k,
         "status": ("healthy" if healthy else
@@ -324,16 +344,9 @@ def cmd_repair(args):
     field = _field(man["field"])
     n, k = man["n"], man["k"]
     bb = man.get("block_bytes", 4096)
-    survivors = {}
-    for f in sorted(src.glob("block_*.dat")) + sorted(src.glob("block_*.par")):
-        survivors[int(f.stem.split("_")[1])] = f.read_bytes()
     tags = man.get("crc32c") or {}
     native = host.available() or host.build()
-    if tags and native:
-        for p, blob in list(survivors.items()):
-            if str(p) in tags and host.crc32c(blob) != tags[str(p)]:
-                print(f"block {p}: CRC mismatch — regenerating")
-                del survivors[p]
+    survivors, _ = _load_survivors(src, man)
     missing = sorted(set(range(n)) - set(survivors))
     if not missing:
         print("nothing to repair")

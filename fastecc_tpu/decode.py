@@ -260,6 +260,22 @@ def decode_prepared(codeword, mask, l_eval_prep, lp_inv_prep,
 decode_prepared_jit = jax.jit(decode_prepared, static_argnames=("field",))
 
 
+def prepare_decode_tables(erased_idx, n: int, field: FieldSpec):
+    """One-stop host prep for the fast decode paths: returns the
+    (mask [n], prepared locator evaluations [n], prepared inverse
+    derivative [n]) device arrays that decode_prepared/
+    decode_prepared_sharded consume. Build once per erasure pattern and
+    reuse across codewords/chunks."""
+    from .ntt import prepare_consts
+    erased = np.asarray(erased_idx)
+    l_eval, lp_inv = locator_host(erased, n, field)
+    mask = np.zeros(n, np.uint32)
+    mask[erased] = 1
+    return (jnp.asarray(mask),
+            jnp.asarray(np.asarray(prepare_consts(field, l_eval))),
+            jnp.asarray(np.asarray(prepare_consts(field, lp_inv))))
+
+
 def decode_stream(codeword: np.ndarray, erased_idx, field: FieldSpec,
                   chunk_lanes: int = 1024,
                   out: np.ndarray | None = None) -> np.ndarray:
@@ -278,30 +294,17 @@ def decode_stream(codeword: np.ndarray, erased_idx, field: FieldSpec,
     chunk_lanes = min(chunk_lanes, lanes)
     assert lanes % chunk_lanes == 0, (
         f"chunk_lanes {chunk_lanes} must divide L={lanes}")
-    l_eval, lp_inv = locator_host(erased, n, field)
-    mask = np.zeros(n, np.uint32)
-    mask[erased] = 1
-    maskj = jnp.asarray(mask)
-    lp = jnp.asarray(np.asarray(prepare_consts(field, l_eval)))
-    ip = jnp.asarray(np.asarray(prepare_consts(field, lp_inv)))
+    maskj, lp, ip = prepare_decode_tables(erased, n, field)
     if out is None:
         out = np.empty((n, lanes), dtype=np.uint32)
-    pending = []
 
-    def drain(item):
-        off, y = item
-        out[:, off:off + chunk_lanes] = np.asarray(y)  # D2H fence
-
-    for off in range(0, lanes, chunk_lanes):
+    def dispatch(off):
         x = jnp.asarray(
             np.ascontiguousarray(codeword[:, off:off + chunk_lanes]))
-        y = decode_prepared_jit(x, maskj, lp, ip, field)
-        pending.append((off, y))
-        if len(pending) > 2:
-            drain(pending.pop(0))
-    for item in pending:
-        drain(item)
-    return out
+        return decode_prepared_jit(x, maskj, lp, ip, field)
+
+    from .rs import stream_lane_chunks
+    return stream_lane_chunks(lanes, chunk_lanes, dispatch, out)
 
 
 def decode_host_prepared(codeword, erased_idx, field: FieldSpec):
@@ -311,14 +314,8 @@ def decode_host_prepared(codeword, erased_idx, field: FieldSpec):
     host values (numpy), not traced arrays.
     """
     n = codeword.shape[0]
-    erased = np.asarray(erased_idx)
-    l_eval, lp_inv = locator_host(erased, n, field)
-    mask = np.zeros(n, np.uint32)
-    mask[erased] = 1
-    from .ntt import prepare_consts
-    lp = jnp.asarray(np.asarray(prepare_consts(field, l_eval)))
-    ip = jnp.asarray(np.asarray(prepare_consts(field, lp_inv)))
-    return decode_prepared_jit(codeword, jnp.asarray(mask), lp, ip, field)
+    mask, lp, ip = prepare_decode_tables(erased_idx, n, field)
+    return decode_prepared_jit(codeword, mask, lp, ip, field)
 
 
 def decode(codeword, erased_idx, field: FieldSpec):

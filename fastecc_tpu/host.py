@@ -30,7 +30,9 @@ _lib = None
 def build(quiet: bool = True) -> bool:
     """Compile the native library in-tree. Returns True on success."""
     try:
-        subprocess.run(["make", "-C", str(_REPO / "native")],
+        # -B: a stale .so can postdate the sources (e.g. copied in) yet
+        # miss newer symbols; unconditional rebuild is cheap and safe
+        subprocess.run(["make", "-B", "-C", str(_REPO / "native")],
                        check=True, capture_output=quiet)
         return _load()
     except (subprocess.CalledProcessError, FileNotFoundError):
@@ -43,7 +45,17 @@ def _load() -> bool:
         return True
     if not _SO.exists():
         return False
-    lib = ctypes.CDLL(str(_SO))
+    try:
+        lib = _bind(ctypes.CDLL(str(_SO)))
+    except (OSError, AttributeError):
+        # stale pre-upgrade .so missing newer symbols (or unloadable):
+        # report unavailable so callers fall back to build()/jnp paths
+        return False
+    _lib = lib
+    return True
+
+
+def _bind(lib):
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u32p = ctypes.POINTER(ctypes.c_uint32)
     i64 = ctypes.c_int64
@@ -66,8 +78,7 @@ def _load() -> bool:
         fn.restype = None
     lib.crc32c.argtypes = [u8p, i64]
     lib.crc32c.restype = ctypes.c_uint32
-    _lib = lib
-    return True
+    return lib
 
 
 def available() -> bool:

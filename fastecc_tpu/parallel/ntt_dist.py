@@ -199,18 +199,8 @@ decode_prepared_sharded_jit = jax.jit(
 def decode_sharded(codeword, erased_idx, field: FieldSpec, mesh: Mesh):
     """Full distributed decode: host-built locator tables + sharded device
     program. ``erased_idx`` must be concrete host values (numpy)."""
-    import numpy as np
-
-    from ..decode import locator_host
-    from ..ntt import prepare_consts
+    from ..decode import prepare_decode_tables
 
     n = codeword.shape[0]
-    erased = np.asarray(erased_idx)
-    l_eval, lp_inv = locator_host(erased, n, field)
-    mask = np.zeros(n, np.uint32)
-    mask[erased] = 1
-    return decode_prepared_sharded_jit(
-        codeword, jnp.asarray(mask),
-        jnp.asarray(np.asarray(prepare_consts(field, l_eval))),
-        jnp.asarray(np.asarray(prepare_consts(field, lp_inv))),
-        field, mesh)
+    mask, lp, ip = prepare_decode_tables(erased_idx, n, field)
+    return decode_prepared_sharded_jit(codeword, mask, lp, ip, field, mesh)

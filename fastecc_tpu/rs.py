@@ -133,21 +133,25 @@ def _update_row_consts(field_name: str, n: int, k: int, i: int):
         L_i(y) = (y^k - 1) * x_i / (k * (y - x_i))
     using Z'(x_i) = k / x_i. For n = 2k every parity point has
     y^k = -1 (y^k - 1 = -2); the general-coset form is computed directly.
+    Vectorized numpy u64 (a Python-int loop would take minutes at
+    n = 2^20); one batched inversion via the decode helper.
     """
+    from .decode import _inv_host_vec
+
     field = FIELDS[field_name]
-    p = field.p
-    c = n // k
+    p = np.uint64(field.p)
     w_n = field.root_of_order(n)
-    x_i = field.pow_host(field.root_of_order(k), i)
-    k_inv = field.inv_host(k)
-    vals = np.empty(n - k, dtype=np.uint32)
-    pos = parity_positions(n, k)
-    for row, j in enumerate(pos):
-        y = field.pow_host(w_n, int(j))
-        num = (field.pow_host(y, k) - 1) * x_i % p
-        den = k * (y - x_i) % p
-        vals[row] = num * field.inv_host(den) % p
-    return np.asarray(prepare_consts(field, vals))
+    x_i = np.uint64(field.pow_host(field.root_of_order(k), i))
+    pos = parity_positions(n, k).astype(np.uint64)
+    wn_pows = powers_host(field, w_n, n).astype(np.uint64)
+    wnk_pows = powers_host(field, field.pow_host(w_n, k),
+                           n).astype(np.uint64)
+    y = wn_pows[pos]                                   # w_n^j
+    yk = wnk_pows[pos]                                 # y^k = w_n^(j*k mod n)
+    num = (yk + p - np.uint64(1)) % p * x_i % p
+    den = np.uint64(k % field.p) * ((y + p - x_i) % p) % p
+    vals = num * _inv_host_vec(den.astype(np.uint32), field) % p
+    return np.asarray(prepare_consts(field, vals.astype(np.uint32)))
 
 
 def update_parity(parity, i: int, old_block, new_block, field: FieldSpec,
@@ -192,6 +196,29 @@ verify_codeword_jit = jax.jit(verify_codeword,
                               static_argnames=("field", "k"))
 
 
+def stream_lane_chunks(lanes: int, chunk_lanes: int, dispatch,
+                       out: np.ndarray) -> np.ndarray:
+    """Depth-2 host<->device pipeline over lane slices (shared by the
+    streaming encode and decode): at most TWO device results outstanding —
+    while chunk i computes, chunk i-1 downloads and i+1 dispatches.
+    ``dispatch(offset)`` returns the device result for
+    columns [offset, offset+chunk_lanes); results land in ``out``.
+    """
+    pending = []
+
+    def drain(item):
+        off, y = item
+        out[:, off:off + chunk_lanes] = np.asarray(y)  # D2H fence
+
+    for off in range(0, lanes, chunk_lanes):
+        if len(pending) >= 2:
+            drain(pending.pop(0))
+        pending.append((off, dispatch(off)))
+    for item in pending:
+        drain(item)
+    return out
+
+
 def encode_parity_stream(data: np.ndarray, field: FieldSpec,
                          n: int | None = None, chunk_lanes: int = 1024,
                          out: np.ndarray | None = None) -> np.ndarray:
@@ -220,21 +247,12 @@ def encode_parity_stream(data: np.ndarray, field: FieldSpec,
     chunk_lanes = min(chunk_lanes, lanes)
     if out is None:
         out = np.empty((n - k, lanes), dtype=np.uint32)
-    pending = []  # (lane_offset, device_result), drained one behind
 
-    def drain(item):
-        off, y = item
-        out[:, off:off + chunk_lanes] = np.asarray(y)  # D2H fence
-
-    for off in range(0, lanes, chunk_lanes):
+    def dispatch(off):
         x = jnp.asarray(np.ascontiguousarray(data[:, off:off + chunk_lanes]))
-        y = encode_parity_jit(x, field, n)             # async dispatch
-        pending.append((off, y))
-        if len(pending) > 2:
-            drain(pending.pop(0))
-    for item in pending:
-        drain(item)
-    return out
+        return encode_parity_jit(x, field, n)          # async dispatch
+
+    return stream_lane_chunks(lanes, chunk_lanes, dispatch, out)
 
 
 # ---------------------------------------------------------------------------

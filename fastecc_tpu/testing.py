@@ -35,6 +35,7 @@ def stride_erasures(n: int, e: int, stride: int, offset: int = 0
                     ) -> np.ndarray:
     """Every stride-th position (structured loss, e.g. one device of a
     sharded layout). Requires e * stride <= n."""
+    assert stride >= 1, "stride 0 would return duplicate positions"
     assert e * stride <= n
     return np.sort((offset + np.arange(e) * stride) % n)
 

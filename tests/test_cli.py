@@ -134,3 +134,30 @@ def test_check_audit_states(tmp_path):
     assert cli.main(["check", str(out)]) == 1            # degraded (CRC)
     assert cli.main(["repair", str(out)]) == 0
     assert cli.main(["check", str(out)]) == 0            # healthy again
+
+
+def test_check_handles_malformed_files(tmp_path):
+    """Truncated and stray block files must be REPORTED, not crash check."""
+    from fastecc_tpu import cli
+    src = tmp_path / "input.bin"
+    src.write_bytes(bytes(range(256)) * 40)
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    # truncate one data block, drop a stray out-of-range file
+    victim = sorted(out.glob("block_*.dat"))[0]
+    victim.write_bytes(victim.read_bytes()[:100])
+    (out / "block_999999.dat").write_bytes(b"junk")
+    rc = cli.main(["check", str(out)])
+    assert rc == 1          # degraded but recoverable, no crash
+    assert cli.main(["repair", str(out)]) == 0
+    assert cli.main(["check", str(out)]) == 0
+
+
+def test_encode_rejects_bad_block_bytes(tmp_path):
+    from fastecc_tpu import cli
+    src = tmp_path / "f.bin"
+    src.write_bytes(b"x" * 100)
+    out = tmp_path / "o"
+    import pytest as _pytest
+    with _pytest.raises(AssertionError, match="block_bytes"):
+        cli.main(["encode", str(src), "-o", str(out), "--block-bytes", "4094"])
