@@ -196,6 +196,26 @@ verify_codeword_jit = jax.jit(verify_codeword,
                               static_argnames=("field", "k"))
 
 
+def encode_parity_batch(data, field: FieldSpec, n: int | None = None):
+    """Parity for S independent stripes at once: [S, k, L] -> [S, n-k, L].
+
+    Lanes are independent codewords, so a batch of stripes is just more
+    lanes: move the stripe axis into the lane axis, encode once (one
+    kernel launch for the whole batch — the way a storage system should
+    submit many small stripes), and move it back. Bit-exact equal to
+    per-stripe encode_parity.
+    """
+    s, k, lanes = data.shape
+    n = 2 * k if n is None else n
+    flat = jnp.moveaxis(data, 0, 1).reshape(k, s * lanes)
+    par = encode_parity(flat, field, n)
+    return jnp.moveaxis(par.reshape(n - k, s, lanes), 1, 0)
+
+
+encode_parity_batch_jit = jax.jit(encode_parity_batch,
+                                  static_argnames=("field", "n"))
+
+
 def stream_lane_chunks(lanes: int, chunk_lanes: int, dispatch,
                        out: np.ndarray) -> np.ndarray:
     """Depth-2 host<->device pipeline over lane slices (shared by the

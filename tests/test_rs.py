@@ -168,3 +168,13 @@ def test_verify_codeword(field):
     bad = np.asarray(cw).copy()
     bad[7, 2] ^= 1
     assert not bool(rs.verify_codeword(jnp.asarray(bad), field, k))
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_batch_encode_matches_per_stripe(field):
+    s, k, lanes = 3, 32, 5
+    data = rand_field(field, (s, k, lanes))
+    got = np.asarray(rs.encode_parity_batch_jit(jnp.asarray(data), field))
+    for i in range(s):
+        want = np.asarray(rs.encode_parity_jit(jnp.asarray(data[i]), field))
+        np.testing.assert_array_equal(got[i], want)
