@@ -53,6 +53,15 @@ def _derivative_consts(field_name: str, n: int):
     return np.asarray(prepare_consts(field, vals))
 
 
+@functools.lru_cache(maxsize=None)
+def _xderiv_consts(field_name: str, n: int):
+    """Prepared [n] table of m mod p: coefficient-wise x * d/dx (the
+    UNSHIFTED derivative, fusable as a transform input-side multiply)."""
+    field = FIELDS[field_name]
+    vals = (np.arange(n, dtype=np.uint64) % field.p).astype(np.uint32)
+    return np.asarray(prepare_consts(field, vals))
+
+
 def _tree_pow2(neg_roots, field: FieldSpec):
     """Stored coeffs [e] of prod (x - r) over e roots, e a power of two.
 
@@ -227,31 +236,40 @@ def locator_host(erased_idx: np.ndarray, n: int, field: FieldSpec):
     lpad = np.concatenate([lc, np.zeros(n - e - 1, np.uint32)])
     l_eval = nth(lpad, field)                             # l(w^j)
 
-    deriv = lc[1:].astype(np.uint64) * (np.arange(1, e + 1, dtype=np.uint64)
-                                        % p) % p
+    # UNSHIFTED derivative: coefficients of x*l'(x) are m*l_m (no index
+    # shift, so the device side can fuse its h-counterpart as a pure
+    # input-side table multiply); the w^j factors of x*h' and x*l' cancel
+    # in the Forney quotient, leaving exactly h'(w^j)/l'(w^j).
+    deriv = lc.astype(np.uint64) * (np.arange(e + 1, dtype=np.uint64)
+                                    % p) % p
     dpad = np.concatenate([deriv.astype(np.uint32),
-                           np.zeros(n - e, np.uint32)])
-    lp_eval = nth(dpad, field)                            # l'(w^j)
-    lp_inv = _inv_host_vec(lp_eval, field)
+                           np.zeros(n - e - 1, np.uint32)])
+    lpx_eval = nth(dpad, field)                           # w^j * l'(w^j)
+    lp_inv = _inv_host_vec(lpx_eval, field)
     return l_eval, lp_inv
 
 
 def decode_prepared(codeword, mask, l_eval_prep, lp_inv_prep,
                     field: FieldSpec):
-    """Device half of the host-prepared decode: two [n, lanes] transforms
-    plus elementwise work. ``mask`` [n] is 1 at erased rows; the two
-    prepared tables come from :func:`locator_host` via gf.prepare_device
-    (or ntt.prepare_consts on the host values).
+    """Device half of the host-prepared decode: exactly two [n, lanes]
+    transforms plus ONE elementwise pass.
+
+    Both table multiplies fuse into the transforms' Pallas pass-A
+    prologues (ntt_auto pre_vec): the locator evaluations l(w^j) are zero
+    at erased rows, so they both form h = c*l AND mask the garbage in one
+    multiply; the forward transform's input multiply by m (coefficients
+    of x*h'(x), no index shift) pairs with the x*l' convention of
+    locator_host's lp_inv table — the w^j factors cancel in the Forney
+    quotient. ``mask`` [n] is 1 at erased rows (used only for the final
+    merge); the tables come from :func:`prepare_decode_tables`.
     """
     n = codeword.shape[0]
     rest = (1,) * (codeword.ndim - 1)
     maskb = (mask == 1).reshape((n,) + rest)
-    safe_cw = jnp.where(maskb, 0, codeword)
-    h_eval = gf.mul_prepared_device(
-        field, safe_cw, l_eval_prep.reshape((n,) + rest))
-    h_coeffs = ntt_auto(h_eval, field, inverse=True)
-    h_der = _derivative(h_coeffs, field, n)
-    hp_eval = ntt_auto(h_der, field)
+    h_coeffs = ntt_auto(codeword, field, inverse=True,
+                        pre_vec=l_eval_prep)
+    hp_eval = ntt_auto(h_coeffs, field,
+                       pre_vec=jnp.asarray(_xderiv_consts(field.name, n)))
     recovered = gf.mul_prepared_device(
         field, hp_eval, lp_inv_prep.reshape((n,) + rest))
     return jnp.where(maskb, recovered, codeword)

@@ -204,6 +204,20 @@ def _col_kernel_pre(tw_ref, w3_ref, seed_ref, t0_ref, pcol_ref, prow_ref,
     _col_epilogue(tw_ref, seed_ref, t0_ref, y, out_ref, field)
 
 
+def _col_kernel_prevec(tw_ref, w3_ref, seed_ref, t0_ref, pvec_ref, x_ref,
+                       out_ref, *, field: FieldSpec, c: int, radix: int):
+    """Pass A with a fused GENERAL input multiply x[m] *= v[m] from an
+    arbitrary prepared [N] table (viewed [C, R]; each grid step reads its
+    [C, TR] tile — table traffic is N words total vs the N*L words a
+    separate elementwise pass would read+write). Used by decode to fold
+    the locator-evaluation and formal-derivative multiplies into the
+    transforms."""
+    x = mul_prepared(field, x_ref[:], pvec_ref[0][:, :, None])
+    y = _ntt_stages(x, field, tw_ref[:], c,
+                    w3_ref[:] if radix == 4 else None)
+    _col_epilogue(tw_ref, seed_ref, t0_ref, y, out_ref, field)
+
+
 def _col_epilogue(tw_ref, seed_ref, t0_ref, y, out_ref, field: FieldSpec):
     """Four-step twiddle multiply (on-chip generated tile) + transpose."""
     # column recurrence from the per-grid-step seed row
@@ -245,16 +259,20 @@ def _pre_mul_tables(field_name: str, g_pre: int, c: int, r: int, tr: int):
 
 def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
                scale: bool = True, pre_seed: int | None = None,
-               interpret: bool = False, radix: int = 4):
+               interpret: bool = False, radix: int = 4, pre_vec=None):
     """Two-pass fused NTT along axis 0 of [N, L]; bit-exact vs ntt.ntt.
 
     ``pre_seed=g`` fuses an input-side multiply x[m] *= g^m into pass A
     (the RS coset twiddle — rs.encode uses it to evaluate parity cosets
-    with zero extra HBM passes). Requires N >= 2^7-ish (R >= 8) and
+    with zero extra HBM passes). ``pre_vec`` fuses a GENERAL input-side
+    multiply by a prepared (Montgomery-scaled for GF32) traced [N] table
+    instead — decode folds its locator/derivative multiplies this way.
+    The two are mutually exclusive. Requires N >= 2^7-ish (R >= 8) and
     L % 128 == 0; callers fall back to the staged jnp path otherwise.
     ``radix=4`` merges butterfly-stage pairs in VMEM (bit-exact).
     """
     assert radix in (2, 4)
+    assert pre_seed is None or pre_vec is None
     n, lanes = x.shape
     t = _log2(n)
     c = 1 << ((t + 1) // 2)
@@ -277,7 +295,19 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
         pl.BlockSpec((1, c, 1), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    if pre_seed is None:
+    if pre_vec is not None:
+        kernel_a = functools.partial(_col_kernel_prevec, field=field, c=c,
+                                     radix=radix)
+        # [r/TR, c, TR] so each grid step's tile has Mosaic-legal trailing
+        # dims (c, TR) equal to the array's own; the transpose is an [N]
+        # table (tiny vs the [N, L] data)
+        pv3 = pre_vec.reshape(c, r // _TR, _TR).transpose(1, 0, 2)
+        a_specs = vec_specs + [
+            pl.BlockSpec((1, c, _TR), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        a_args = (tw_c, w3_c, seed, t0, pv3)
+    elif pre_seed is None:
         kernel_a = functools.partial(_col_kernel, field=field, c=c,
                                      radix=radix)
         a_specs, a_args = vec_specs, (tw_c, w3_c, seed, t0)
@@ -337,4 +367,4 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
 ntt_pallas_jit = jax.jit(
     ntt_pallas,
     static_argnames=("field", "inverse", "scale", "pre_seed", "interpret",
-                     "radix"))
+                     "radix"))  # pre_vec is traced, not static

@@ -230,24 +230,29 @@ intt_jit = jax.jit(intt, static_argnames=("field", "scale"))
 
 
 def ntt_auto(x, field: FieldSpec, inverse: bool = False, scale: bool = True,
-             pre_seed: int | None = None):
+             pre_seed: int | None = None, pre_vec=None):
     """Best-backend NTT along axis 0: the fused two-pass Pallas MFA kernel
     on TPU for supported shapes (kernels/ntt_mfa.py), else the staged jnp
     Stockham path. ``pre_seed=g`` applies the input-side multiply
-    x[m] *= g^m (free in the Pallas path, one extra pass in the fallback).
-    Bit-exact across backends.
+    x[m] *= g^m; ``pre_vec`` (a prepared traced [N] table, exclusive with
+    pre_seed) applies a general input-side multiply x[m] *= v[m] — both
+    free in the Pallas path, one extra pass in the fallback. Bit-exact
+    across backends.
     """
     from .kernels import ntt_mfa  # local import: kernels pull in pallas
 
     if (x.ndim == 2 and jax.default_backend() == "tpu"
             and ntt_mfa._supported(x.shape[0], x.shape[1])):
         return ntt_mfa.ntt_pallas(x, field, inverse=inverse, scale=scale,
-                                  pre_seed=pre_seed)
+                                  pre_seed=pre_seed, pre_vec=pre_vec)
+    n = x.shape[0]
     if pre_seed is not None:
-        n = x.shape[0]
         pre = _pre_powers(field.name, pre_seed % field.p, n)
         x = mul_prepared(
             field, x, jnp.asarray(pre).reshape((n,) + (1,) * (x.ndim - 1)))
+    if pre_vec is not None:
+        x = mul_prepared(field, x,
+                         pre_vec.reshape((n,) + (1,) * (x.ndim - 1)))
     return ntt(x, field, inverse=inverse, scale=scale)
 
 

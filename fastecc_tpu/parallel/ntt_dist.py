@@ -164,14 +164,15 @@ def decode_prepared_sharded(codeword, mask, l_eval_prep, lp_inv_prep,
                             field: FieldSpec, mesh: Mesh):
     """Distributed erasure decode (device half), sharded P('coeff','block').
 
-    Same math as decode.decode_prepared — mask out erasures, multiply by
-    the locator evaluations, iNTT_n, formal derivative, NTT_n, Forney
-    divide — with both [n, lanes] transforms running as mesh-sharded
+    Same math as decode.decode_prepared — multiply by the locator
+    evaluations (zero at erased rows, so masking is implicit), iNTT_n,
+    the UNSHIFTED x*d/dx multiply, NTT_n, Forney divide by the x*l'
+    table — with both [n, lanes] transforms running as mesh-sharded
     four-step NTTs (all_to_all over 'coeff'). The [n] tables come from
-    decode.locator_host via ntt.prepare_consts. Bit-exact equal to the
-    single-device path (test-enforced on the virtual CPU mesh).
+    decode.prepare_decode_tables. Bit-exact equal to the single-device
+    path (test-enforced on the virtual CPU mesh).
     """
-    from ..decode import _derivative
+    from ..decode import _xderiv_consts
 
     n = codeword.shape[0]
     spec_cw = NamedSharding(mesh, P("coeff", "block"))
@@ -182,10 +183,10 @@ def decode_prepared_sharded(codeword, mask, l_eval_prep, lp_inv_prep,
     lp_inv_prep = jax.lax.with_sharding_constraint(lp_inv_prep, spec_vec)
 
     maskb = (mask == 1)[:, None]
-    safe_cw = jnp.where(maskb, 0, cw)
-    h_eval = gf.mul_prepared_device(field, safe_cw, l_eval_prep[:, None])
+    h_eval = gf.mul_prepared_device(field, cw, l_eval_prep[:, None])
     h_coeffs = ntt_sharded(h_eval, field, mesh, inverse=True)
-    h_der = _derivative(h_coeffs, field, n)
+    dx = jnp.asarray(_xderiv_consts(field.name, n))
+    h_der = gf.mul_prepared_device(field, h_coeffs, dx[:, None])
     hp_eval = ntt_sharded(h_der, field, mesh)
     recovered = gf.mul_prepared_device(field, hp_eval, lp_inv_prep[:, None])
     out = jnp.where(maskb, recovered, cw)

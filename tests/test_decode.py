@@ -192,9 +192,13 @@ def test_host_prepared_decode_matches_device(field, n, e):
 
 @pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
 def test_locator_host_matches_device_tables(field):
-    """Host numpy locator evaluations == device locator_coeffs pipeline."""
+    """Host numpy locator evaluations == device locator_coeffs pipeline.
+
+    The host lp table uses the UNSHIFTED x*l'(x) convention (decode fuses
+    its h-side counterpart as a transform input multiply): at position j
+    it holds inv(w^j * l'(w^j))."""
     from fastecc_tpu import gf
-    from fastecc_tpu.ntt import ntt
+    from fastecc_tpu.ntt import mul_prepared, ntt
     n, e = 128, 37
     erased = np.sort(RNG.choice(n, size=e, replace=False))
     l_eval_h, lp_inv_h = dec.locator_host(erased, n, field)
@@ -202,11 +206,12 @@ def test_locator_host_matches_device_tables(field):
     lpad = jnp.concatenate([lc, jnp.zeros(n - e - 1, jnp.uint32)])
     l_eval_d = np.asarray(ntt(lpad, field))
     np.testing.assert_array_equal(l_eval_h, l_eval_d)
-    l_der = dec._derivative(lc, field, n)
-    lp_eval_d = np.asarray(ntt(l_der, field))
-    lp_inv_d = np.asarray(gf.inv(field, jnp.asarray(lp_eval_d)))
-    np.testing.assert_array_equal(
-        lp_inv_h[erased], lp_inv_d[erased])
+    # x*l' coefficients are m * l_m (padding rows stay zero)
+    dx = jnp.asarray(dec._xderiv_consts(field.name, n))
+    lpx = mul_prepared(field, lpad, dx)
+    lpx_eval_d = np.asarray(ntt(lpx, field))
+    lpx_inv_d = np.asarray(gf.inv(field, jnp.asarray(lpx_eval_d)))
+    np.testing.assert_array_equal(lp_inv_h[erased], lpx_inv_d[erased])
 
 
 @pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)

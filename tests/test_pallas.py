@@ -61,3 +61,21 @@ def test_supported_predicate():
     assert _supported(1 << 10, 1024)
     assert not _supported(1 << 10, 1088)   # packed GF32 lanes: jnp fallback
     assert not _supported(16, 128)         # R < 8
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_pallas_fused_general_prevec(field):
+    """pre_vec must equal an explicit x[m] *= v[m] followed by the NTT."""
+    n = 1 << 8
+    x = jnp.asarray(rand_field(field, (n, 128)))
+    v = rand_field(field, (n,))
+    vp = jnp.asarray(prepare_consts(field, v))
+    want = np.asarray(ntt(mul_prepared(field, x, vp[:, None]), field))
+    got = np.asarray(ntt_pallas(x, field, pre_vec=vp, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    # inverse direction too (decode's first transform)
+    wanti = np.asarray(ntt(mul_prepared(field, x, vp[:, None]), field,
+                           inverse=True))
+    goti = np.asarray(ntt_pallas(x, field, pre_vec=vp, inverse=True,
+                                 interpret=True))
+    np.testing.assert_array_equal(goti, wanti)
