@@ -159,9 +159,12 @@ def locator_host(erased_idx: np.ndarray, n: int, field: FieldSpec):
     """Host numpy build of the decode tables for erasure set E.
 
     Returns (l_eval [n], lp_inv [n]) where l_eval[j] = l(w^j) for
-    l(x) = prod_{i in E} (x - w^i), and lp_inv[j] = l'(w^j)^-1 at erased j
-    (other entries are don't-care). Matches the device locator_coeffs /
-    derivative path bit-exactly (test-enforced).
+    l(x) = prod_{i in E} (x - w^i), and lp_inv[j] = inv(w^j * l'(w^j)) at
+    erased j (other entries are don't-care) — the UNSHIFTED x*l'
+    convention: decode pairs it with evaluations of x*h'(x) (coefficients
+    m*h_m, fusable as a transform input multiply) and the w^j factors
+    cancel in the Forney quotient. Matches the device locator_coeffs
+    pipeline bit-exactly under the same convention (test-enforced).
     """
     from . import host
     from .ntt import ntt_host

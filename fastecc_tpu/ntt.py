@@ -241,6 +241,8 @@ def ntt_auto(x, field: FieldSpec, inverse: bool = False, scale: bool = True,
     """
     from .kernels import ntt_mfa  # local import: kernels pull in pallas
 
+    assert pre_seed is None or pre_vec is None, (
+        "pre_seed and pre_vec are mutually exclusive")
     if (x.ndim == 2 and jax.default_backend() == "tpu"
             and ntt_mfa._supported(x.shape[0], x.shape[1])):
         return ntt_mfa.ntt_pallas(x, field, inverse=inverse, scale=scale,
