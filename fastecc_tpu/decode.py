@@ -46,14 +46,6 @@ def _log2(n: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _derivative_consts(field_name: str, n: int):
-    """Prepared [n-1] table of (m+1) mod p for coefficient-wise d/dx."""
-    field = FIELDS[field_name]
-    vals = (np.arange(1, n, dtype=np.uint64) % field.p).astype(np.uint32)
-    return np.asarray(prepare_consts(field, vals))
-
-
-@functools.lru_cache(maxsize=None)
 def _xderiv_consts(field_name: str, n: int):
     """Prepared [n] table of m mod p: coefficient-wise x * d/dx (the
     UNSHIFTED derivative, fusable as a transform input-side multiply)."""
@@ -118,17 +110,6 @@ def locator_coeffs(erased_idx, n: int, field: FieldSpec):
     roots = gf.pow_base(field, w, erased_idx)          # w^j, [e]
     stored = _loc_stored(gf.neg(field, roots), field)
     return jnp.concatenate([stored, jnp.ones(1, dtype=jnp.uint32)])
-
-
-def _derivative(coeffs, field: FieldSpec, n: int):
-    """d/dx in coefficient space, padded back to length n."""
-    dc = jnp.asarray(_derivative_consts(field.name, n))
-    shape_tail = coeffs.shape[1:]
-    dcb = dc[: coeffs.shape[0] - 1].reshape(
-        (coeffs.shape[0] - 1,) + (1,) * len(shape_tail))
-    der = mul_prepared(field, coeffs[1:], dcb)
-    pad = jnp.zeros((n - der.shape[0],) + shape_tail, dtype=jnp.uint32)
-    return jnp.concatenate([der, pad], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -366,18 +347,21 @@ def decode(codeword, erased_idx, field: FieldSpec):
         [lc, jnp.zeros((n - e - 1,), jnp.uint32)])     # deg l = e < n
     l_eval = ntt(lpad, field)                          # l(w^j), [n]
 
+    # Same fused formulation as decode_prepared: the l-evaluation multiply
+    # rides the inverse transform's input (and masks garbage — l is zero
+    # at erased rows); the UNSHIFTED derivative x*h' (coefficients m*h_m)
+    # rides the forward transform's input, and its w^j factor cancels the
+    # matching one of x*l' in the Forney quotient.
     rest = (1,) * (codeword.ndim - 1)
-    safe_cw = jnp.where((mask == 1).reshape((n,) + rest), 0, codeword)
-    l_prep = gf.prepare_device(field, l_eval).reshape((n,) + rest)
-    h_eval = gf.mul_prepared_device(field, safe_cw, l_prep)   # c * l
-    h_coeffs = ntt_auto(h_eval, field, inverse=True)
+    l_prep = gf.prepare_device(field, l_eval)
+    h_coeffs = ntt_auto(codeword, field, inverse=True, pre_vec=l_prep)
 
-    h_der = _derivative(h_coeffs, field, n)
-    hp_eval = ntt_auto(h_der, field)                   # h'(w^j), [n, lanes]
+    dx = jnp.asarray(_xderiv_consts(field.name, n))
+    hp_eval = ntt_auto(h_coeffs, field, pre_vec=dx)    # w^j h'(w^j)
 
-    l_der = _derivative(lc, field, n)
-    lp_eval = ntt(l_der, field)                        # l'(w^j), [n]
-    lp_inv = gf.prepare_device(field, gf.inv(field, lp_eval))
+    lpx = mul_prepared(field, lpad, dx)                # x*l' coefficients
+    lpx_eval = ntt(lpx, field)                         # w^j l'(w^j), [n]
+    lp_inv = gf.prepare_device(field, gf.inv(field, lpx_eval))
 
     recovered = gf.mul_prepared_device(
         field, hp_eval, lp_inv.reshape((n,) + rest))
