@@ -96,16 +96,29 @@ def cmd_gf_bench(args):
 
 
 def cmd_ntt_bench(args):
+    """NTT throughput; --algo mirrors the reference `ntt` binary's
+    algorithm-variant selector (stockham/four-step/fused-Pallas/auto)."""
     import jax, jax.numpy as jnp
-    from .ntt import ntt_auto
+    from . import ntt as nttmod
     from .utils.timer import time_fn
     field = _field(args.field)
     n = 1 << args.lg_n
     x = jnp.asarray(_rand(field, (n, args.lanes)))
-    fn = jax.jit(lambda v: ntt_auto(v, field, inverse=args.inverse))
+    algo = {
+        "auto": lambda v: nttmod.ntt_auto(v, field, inverse=args.inverse),
+        "stockham": lambda v: nttmod.ntt(v, field, inverse=args.inverse,
+                                         radix=args.radix),
+        "fourstep": lambda v: nttmod.ntt_four_step(v, field,
+                                                   inverse=args.inverse),
+        "pallas": lambda v: __import__(
+            "fastecc_tpu.kernels.ntt_mfa", fromlist=["ntt_pallas"]
+        ).ntt_pallas(v, field, inverse=args.inverse, radix=args.radix),
+    }[args.algo]
+    fn = jax.jit(algo)
     secs = time_fn(fn, x, iters=args.iters)
     gb = x.size * 4 / 1e9
     print(json.dumps({"op": "intt" if args.inverse else "ntt",
+                      "algo": args.algo, "radix": args.radix,
                       "field": field.name, "lg_n": args.lg_n,
                       "lanes": args.lanes, "seconds": round(secs, 4),
                       "gb_per_sec": round(gb / secs, 2)}))
@@ -451,6 +464,10 @@ def main(argv=None):
     p.add_argument("--lanes", type=int, default=512)
     p.add_argument("--inverse", action="store_true")
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--algo", default="auto",
+                   choices=["auto", "stockham", "fourstep", "pallas"],
+                   help="algorithm variant (reference `ntt` selector)")
+    p.add_argument("--radix", type=int, default=4, choices=[2, 4])
     p.set_defaults(fn=cmd_ntt_bench)
 
     p = sub.add_parser("rs-bench", help="RS encode throughput")
