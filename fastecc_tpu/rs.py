@@ -71,7 +71,30 @@ def parity_positions(n: int, k: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def encode(data, field: FieldSpec, n: int | None = None):
-    """Full codeword [n, L] from data [k, L]: iNTT_k -> zero-pad -> NTT_n."""
+    """Full codeword [n, L] from data [k, L].
+
+    Systematic structure (codeword[c*i] == data[i], c = n/k) means the
+    full codeword is just the data interleaved with the coset parity
+    rows — so this reuses the fast per-coset path (two k-point
+    transforms) instead of the zero-padded n-point form (~33% less
+    butterfly work at n = 2k). ``encode_padded`` keeps the literal
+    iNTT_k -> zero-pad -> NTT_n pipeline as an independent cross-check
+    oracle (equality is test-enforced).
+    """
+    k = data.shape[0]
+    n = 2 * k if n is None else n
+    _check_kn(k, n)
+    c = n // k
+    parity = encode_parity(data, field, n)             # [(c-1)*k, L]
+    rows = jnp.concatenate(
+        [data[:, None], parity.reshape((k, c - 1) + data.shape[1:])],
+        axis=1)                                        # [k, c, L]
+    return rows.reshape((n,) + data.shape[1:])
+
+
+def encode_padded(data, field: FieldSpec, n: int | None = None):
+    """Full codeword via the literal iNTT_k -> zero-pad -> NTT_n pipeline
+    (the reference RS.cpp structure); test oracle for :func:`encode`."""
     k = data.shape[0]
     n = 2 * k if n is None else n
     _check_kn(k, n)

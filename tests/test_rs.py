@@ -11,6 +11,7 @@ import hashlib
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from fastecc_tpu import packing, rs
@@ -55,8 +56,14 @@ def test_systematic_property(field, k, n):
 @pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
 @pytest.mark.parametrize("k,n", [(8, 16), (256, 512), (64, 256)])
 def test_coset_parity_matches_full_encode(field, k, n):
+    """The interleaved fast encode must equal the independent padded-NTT
+    pipeline (the reference RS.cpp structure) row for row."""
     data = rand_field(field, (k, 2))
     cw = np.asarray(rs.encode_jit(jnp.asarray(data), field, n))
+    padded = np.asarray(jax.jit(
+        rs.encode_padded, static_argnames=("field", "n"))(
+            jnp.asarray(data), field, n))
+    np.testing.assert_array_equal(cw, padded)
     par = np.asarray(rs.encode_parity_jit(jnp.asarray(data), field, n))
     np.testing.assert_array_equal(par, cw[rs.parity_positions(n, k)])
 
