@@ -161,3 +161,21 @@ def test_encode_rejects_bad_block_bytes(tmp_path):
     import pytest as _pytest
     with _pytest.raises(AssertionError, match="block_bytes"):
         cli.main(["encode", str(src), "-o", str(out), "--block-bytes", "4094"])
+
+
+def test_file_encode_recover_gf16(tmp_path):
+    """The 16-bit field variant through the full file wire path."""
+    from fastecc_tpu import cli
+    src = tmp_path / "input.bin"
+    rng = np.random.default_rng(21)
+    src.write_bytes(rng.integers(0, 256, 9001, dtype=np.uint16)
+                    .astype(np.uint8).tobytes())
+    out = tmp_path / "coded"
+    assert cli.main(["--field", "gf16", "encode", str(src),
+                     "-o", str(out)]) == 0
+    files = sorted(out.glob("block_*"))
+    for f in files[: len(files) // 2]:    # max tolerable loss
+        f.unlink()
+    dst = tmp_path / "restored.bin"
+    assert cli.main(["recover", str(out), "-o", str(dst)]) == 0
+    assert dst.read_bytes() == src.read_bytes()
