@@ -100,12 +100,14 @@ def _colpass_seeds(field_name: str, n: int, c: int, inverse: bool,
         w = field.inv_host(w)
     s = field.inv_host(n) if (inverse and scale) else 1
     seed = powers_host(field, w, c)
-    t0 = np.empty((r_dim // tr, c), dtype=np.uint32)
-    for i in range(r_dim // tr):
-        base = field.pow_host(w, i * tr)
-        # t0[i, k_c] = s * base^k_c
-        t0[i] = (powers_host(field, base, c).astype(object) * s
-                 % field.p).astype(np.uint32)
+    from ..ntt import powers_outer_host
+    # t0[i, k_c] = s * (w^(i*tr))^k_c, vectorized (bases[i] = (w^tr)^i)
+    bases = powers_host(field, field.pow_host(w, tr), r_dim // tr)
+    t0 = powers_outer_host(field, bases, c)
+    if s != 1:
+        p64 = np.uint64(field.p)
+        t0 = (t0.astype(np.uint64) * np.uint64(s % field.p)
+              % p64).astype(np.uint32)
     return (np.asarray(prepare_consts(field, seed)),
             np.asarray(prepare_consts(field, t0)))
 

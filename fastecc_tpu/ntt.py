@@ -50,14 +50,44 @@ def _log2(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 def powers_host(field: FieldSpec, base: int, count: int) -> np.ndarray:
-    """[base^0, base^1, ..., base^(count-1)] mod p as numpy uint32."""
-    out = np.empty(count, dtype=np.uint32)
-    acc = 1
-    p = field.p
-    for i in range(count):
-        out[i] = acc
-        acc = (acc * base) % p
-    return out
+    """[base^0, base^1, ..., base^(count-1)] mod p as numpy uint32.
+
+    Vectorized u64 doubling — out[f:2f] = out[:f] * base^f — so a 2^20
+    table is ~20 numpy passes, not 2^20 Python iterations (first-call
+    trace-time table builds at n=2^20 were seconds of Python looping)."""
+    if count <= 0:
+        return np.empty(0, dtype=np.uint32)
+    p = np.uint64(field.p)
+    out = np.empty(count, dtype=np.uint64)
+    out[0] = 1
+    filled, step = 1, np.uint64(base % field.p)
+    while filled < count:
+        take = min(filled, count - filled)
+        out[filled:filled + take] = out[:take] * step % p
+        filled += take
+        step = step * step % p
+    return out.astype(np.uint32)
+
+
+def powers_outer_host(field: FieldSpec, bases: np.ndarray,
+                      count: int) -> np.ndarray:
+    """[len(bases), count] table T[i, j] = bases[i]^j mod p (vectorized u64
+    doubling along axis 1; the workhorse behind every two-axis twiddle
+    table — four-step diagonals, coset rows, pass-A seeds)."""
+    m = int(np.asarray(bases).shape[0])
+    if count <= 0 or m == 0:
+        return np.empty((m, max(count, 0)), dtype=np.uint32)
+    p = np.uint64(field.p)
+    out = np.empty((m, count), dtype=np.uint64)
+    out[:, 0] = 1
+    filled = 1
+    step = np.asarray(bases, dtype=np.uint64) % p
+    while filled < count:
+        take = min(filled, count - filled)
+        out[:, filled:filled + take] = out[:, :take] * step[:, None] % p
+        filled += take
+        step = step * step % p
+    return out.astype(np.uint32)
 
 
 def prepare_consts(field: FieldSpec, vals: np.ndarray) -> np.ndarray:
@@ -105,9 +135,7 @@ def _four_step_twiddles(field_name: str, n: int, c: int, inverse: bool):
     if inverse:
         w = field.inv_host(w)
     col = powers_host(field, w, c)  # w^{k_c}
-    rows = np.empty((c, r_dim), dtype=np.uint32)
-    for k_c in range(c):
-        rows[k_c] = powers_host(field, int(col[k_c]), r_dim)
+    rows = powers_outer_host(field, col, r_dim)        # w^(k_c * r)
     return np.asarray(prepare_consts(field, rows))
 
 

@@ -48,9 +48,9 @@ def _coset_twiddles(field_name: str, n: int, k: int):
     field = FIELDS[field_name]
     c = n // k
     w = field.root_of_order(n)
-    rows = np.empty((c - 1, k), dtype=np.uint32)
-    for r in range(1, c):
-        rows[r - 1] = powers_host(field, field.pow_host(w, r), k)
+    from .ntt import powers_outer_host
+    bases = powers_host(field, w, c)[1:]               # w^r, r = 1..c-1
+    rows = powers_outer_host(field, bases, k)          # w^(r*m)
     return np.asarray(prepare_consts(field, rows))
 
 
