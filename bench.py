@@ -48,11 +48,12 @@ def run(lg_k: int, lanes: int, iters: int, lane_chunks: int):
 def run_decode_metric(iters: int):
     """Secondary: erasure-decode GB/s at n=2^20, e=2^19 erased, 512 lanes.
 
-    Steady-state device throughput (the host-built locator tables are
-    constructed once per erasure pattern and reused; their one-time cost
-    is reported separately as decode_locator_host_seconds)."""
-    import time
-
+    Steady-state device throughput from the MARGINAL time of one decode
+    (two chain depths differenced, excluding the ~35-50 ms fixed per-call
+    dispatch cost of the tunneled chip — honest for a pipeline that
+    decodes stripe after stripe). The single-call wall time is reported
+    too. Locator tables build on-device (one jitted program per erasure
+    pattern); their steady-state build time reports separately."""
     import numpy as np
 
     from fastecc_tpu import decode as dec
@@ -63,20 +64,28 @@ def run_decode_metric(iters: int):
     cw = jax.block_until_ready(rs.encode_jit(data, GF32, n))
     del data
     rng = np.random.default_rng(1)
-    erased = np.sort(rng.choice(n, size=e, replace=False))
-    t0 = time.perf_counter()
-    args = (cw,) + dec.prepare_decode_tables(erased, n, GF32)
-    loc_secs = time.perf_counter() - t0
-    secs = time_fn(lambda *a: dec.decode_prepared_jit(*a, GF32), *args,
-                   iters=iters)
-    del cw, args
-    return secs, n * lanes * 4 / secs / 1e9, loc_secs
+    erased = jnp.asarray(
+        np.sort(rng.choice(n, size=e, replace=False)).astype(np.uint32))
+    loc_secs = time_fn(
+        lambda idx: dec.prepare_decode_tables_device(idx, n, GF32),
+        erased, iters=max(2, iters))
+    targs = tuple(jax.block_until_ready(a)
+                  for a in dec.prepare_decode_tables_device(erased, n, GF32))
+    f1 = jax.jit(lambda c: dec.decode_prepared(c, *targs, GF32))
+    f2 = jax.jit(lambda c: dec.decode_prepared(
+        dec.decode_prepared(c, *targs, GF32), *targs, GF32))
+    t1 = time_fn(f1, cw, iters=iters)
+    t2 = time_fn(f2, cw, iters=iters)
+    marginal = max(t2 - t1, 1e-9)
+    del cw, targs
+    return t1, marginal, n * lanes * 4 / marginal / 1e9, loc_secs
 
 
 def run_gf16_metric(iters: int):
     """Secondary: GF(0x10001) encode GB/s (BASELINE.json:9 field), n=2^14
     blocks x 32768 lanes (2GB working set so the tunnel latency washes
-    out)."""
+    out). Wire-format accounting: a GF16 lane is a 2-byte word, so the
+    GB/s uses 2 bytes/lane (the in-HBM u32 rate is exactly 2x)."""
     from fastecc_tpu import rs
     from fastecc_tpu.fields import GF16
 
@@ -86,7 +95,7 @@ def run_gf16_metric(iters: int):
     fn = jax.jit(lambda x: rs.encode_parity(x, GF16, 2 * k))
     secs = time_fn(fn, data, iters=iters)
     del data
-    return secs, 2 * k * lanes * 4 / secs / 1e9
+    return secs, 2 * k * lanes * 2 / secs / 1e9
 
 
 def run_ntt_metric(iters: int):
@@ -144,11 +153,12 @@ def main():
     jax.clear_caches()
     gc.collect()
     try:
-        dec_secs, dec_gbps, loc_secs = run_decode_metric(max(2, args.iters))
-        dec_secs, dec_gbps = round(dec_secs, 4), round(dec_gbps, 2)
-        loc_secs = round(loc_secs, 2)
+        dec_call, dec_secs, dec_gbps, loc_secs = run_decode_metric(
+            max(2, args.iters))
+        dec_call, dec_secs = round(dec_call, 4), round(dec_secs, 4)
+        dec_gbps, loc_secs = round(dec_gbps, 2), round(loc_secs, 3)
     except Exception:  # noqa: BLE001 - secondary metric is best-effort
-        dec_secs = dec_gbps = loc_secs = None
+        dec_call = dec_secs = dec_gbps = loc_secs = None
     jax.clear_caches()
     gc.collect()
     try:
@@ -158,6 +168,10 @@ def main():
         g16_secs = g16_gbps = None
 
     gbps = total_bytes / secs / 1e9
+    # Both throughput conventions, so nobody is misled by either: the
+    # codeword rate counts all n blocks produced (data pass through by
+    # systematicity), the parity rate counts only the n-k computed rows.
+    parity_gbps = (n - k) * args.lanes * 4 / secs / 1e9
     print(json.dumps({
         "metric": "rs_encode_throughput",
         "value": round(gbps, 3),
@@ -167,12 +181,15 @@ def main():
                    "block_bytes": args.lanes * 4, "field": "GF32",
                    "seconds": round(secs, 4), "fallback": fallback,
                    "lane_chunks": chunks,
+                   "parity_gb_per_sec": round(parity_gbps, 3),
                    "ntt_2e20_x512lane_seconds": ntt_secs,
+                   "decode_call_seconds": dec_call,
                    "decode_2e20_e2e19_seconds": dec_secs,
                    "decode_gb_per_sec": dec_gbps,
-                   "decode_locator_host_seconds": loc_secs,
+                   "decode_locator_build_seconds": loc_secs,
+                   "decode_locator": "device",
                    "gf16_encode_2e14_seconds": g16_secs,
-                   "gf16_encode_gb_per_sec": g16_gbps,
+                   "gf16_encode_wire_gb_per_sec": g16_gbps,
                    "device": str(jax.devices()[0]).strip()},
     }))
 

@@ -78,7 +78,30 @@ def cmd_roundtrip(args):
 
 
 def cmd_gf_bench(args):
-    """Mulmod microbenchmark (reference `ntt` 'b' mode, SURVEY.md §3.3)."""
+    """Mulmod microbenchmark (reference `ntt` 'b' mode, SURVEY.md §3.3).
+
+    ``--variant`` mirrors the reference's scalar/SSE2/AVX2 mulmod A/B:
+    Pallas in-VMEM dependent-chain benchmarks of the Solinas REDC vs the
+    generic REDC vs raw u32 multiply/add vs GF16 Fermat reduction, plus
+    an HBM stream kernel and an `all` mode that emits the full measured
+    roofline peak table (feeds utils.profiling.encode_roofline)."""
+    import json as _json
+
+    if args.variant != "jnp":
+        from .kernels import microbench
+        if args.variant == "all":
+            peaks = microbench.measure_peaks(iters=args.iters)
+            print(_json.dumps({"op": "gf_peaks", **peaks}))
+        elif args.variant == "stream":
+            v = microbench.hbm_stream_gbps(iters=args.iters)
+            print(_json.dumps({"op": "hbm_stream",
+                               "gb_per_sec": round(v, 1)}))
+        else:
+            gops = microbench.vpu_chain_gops(args.variant,
+                                             iters=args.iters)
+            print(_json.dumps({"op": "gf_chain", "variant": args.variant,
+                               "gops": round(gops, 1)}))
+        return 0
     import jax, jax.numpy as jnp
     from . import gf
     from .utils.timer import time_fn
@@ -134,11 +157,17 @@ def cmd_rs_bench(args):
     x = jnp.asarray(_rand(field, (k, args.lanes)))
     fn = jax.jit(lambda v: rs.encode_parity(v, field, n))
     secs = time_fn(fn, x, iters=args.iters)
-    gb = n * args.lanes * 4 / 1e9
+    # wire-format word size (GF16 lanes are 2-byte words on the wire);
+    # report both the codeword-bytes and the computed-parity-bytes rate
+    wb = 4 if field.use_mont else 2
+    gb = n * args.lanes * wb / 1e9
+    pgb = (n - k) * args.lanes * wb / 1e9
     print(json.dumps({"op": "rs_encode", "field": field.name,
                       "k": k, "n": n, "lanes": args.lanes,
+                      "wire_word_bytes": wb,
                       "seconds": round(secs, 4),
-                      "gb_per_sec": round(gb / secs, 2)}))
+                      "gb_per_sec": round(gb / secs, 2),
+                      "parity_gb_per_sec": round(pgb / secs, 2)}))
     return 0
 
 
@@ -166,26 +195,33 @@ def cmd_decode_bench(args):
     gj = jnp.asarray(garbled)
     loc_secs = None
     if args.device_locator:
-        fn = jax.jit(lambda c, idx: dec.decode(c, idx, field))
+        fn = jax.jit(lambda c, idx: dec.decode(c, idx, field, k=k))
         secs = time_fn(fn, gj, jnp.asarray(erased), iters=args.iters)
         out = np.asarray(fn(gj, jnp.asarray(erased)))
+        locator = "fused-device"
     else:
         # product path: build the locator tables ONCE (their one-time cost
-        # reports separately), then time the steady-state device program
+        # reports separately; prepare_decode_tables picks device vs host),
+        # then time the steady-state device program
         t0 = time.perf_counter()
         targs = dec.prepare_decode_tables(erased, n, field)
+        jax.block_until_ready(targs)
         loc_secs = round(time.perf_counter() - t0, 3)
         fn = lambda c: dec.decode_prepared_jit(c, *targs, field)
         secs = time_fn(fn, gj, iters=args.iters)
         out = np.asarray(fn(gj))
+        locator = "prepared"
     ok = bool((out == cw).all())
-    gb = n * args.lanes * 4 / 1e9
+    wb = 4 if field.use_mont else 2
+    gb = n * args.lanes * wb / 1e9
     print(json.dumps({"op": "rs_decode", "field": field.name,
                       "n": n, "erasures": e, "lanes": args.lanes,
-                      "locator": "device" if args.device_locator else "host",
+                      "locator": locator,
                       "seconds": round(secs, 4),
                       "locator_build_seconds": loc_secs,
                       "gb_per_sec": round(gb / secs, 2),
+                      "recovered_gb_per_sec": round(
+                          e * args.lanes * wb / 1e9 / secs, 2),
                       "recovered_ok": ok}))
     return 0 if ok else 1
 
@@ -198,10 +234,12 @@ def _load_survivors(src: pathlib.Path, man: dict, quiet: bool = False):
     """Scan a coded directory's block files against its manifest.
 
     Shared by recover/check/repair. Validates each file's position and
-    size and CRC-checks it when the manifest has tags and the native
-    library loads; invalid files are excluded (flagged, never fatal — the
-    caller decides recoverability). Returns (survivors, flagged) where
-    ``flagged`` lists (position, reason) for every excluded file.
+    size and CRC-checks it whenever the manifest has tags (native CRC32C
+    when the library loads, bit-identical numpy fallback otherwise — CRC
+    never silently disappears); invalid files are excluded (flagged,
+    never fatal — the caller decides recoverability). Returns
+    (survivors, flagged, crc_verified) where ``flagged`` lists
+    (position, reason) for every excluded file.
     """
     from . import host, packing, rs
     field = _field(man["field"])
@@ -209,7 +247,9 @@ def _load_survivors(src: pathlib.Path, man: dict, quiet: bool = False):
     bb = man.get("block_bytes", 4096)
     dpos = set(rs.data_positions(n, k).tolist())
     tags = man.get("crc32c") or {}
-    crc = tags and (host.available() or host.build())
+    if tags:
+        host.available() or host.build()   # prefer the OpenMP path
+    crc = bool(tags)
     survivors, flagged = {}, []
 
     def flag(pos, reason):
@@ -234,7 +274,7 @@ def _load_survivors(src: pathlib.Path, man: dict, quiet: bool = False):
             flag(pos, "CRC mismatch")
             continue
         survivors[pos] = blob
-    return survivors, flagged
+    return survivors, flagged, crc
 
 
 def _file_blocks(path: pathlib.Path, block_bytes: int):
@@ -256,19 +296,31 @@ def cmd_encode(args):
     from .packing import _word_count
     assert args.block_bytes > 0, "--block-bytes must be positive"
     _word_count(field, args.block_bytes)   # loud word-alignment check
+    max_resident = args.max_resident << 20
+    if src.stat().st_size > max_resident:
+        # out-of-core path: memmap + lane-chunk streaming (storage.py);
+        # output directory is bit-identical to the in-core path below
+        from . import storage
+        man = storage.encode_file_stream(
+            src, out, field, block_bytes=args.block_bytes,
+            max_resident_bytes=max_resident)
+        print(f"encoded {src} ({man['size']} bytes, streamed) -> "
+              f"{man['k']} data + {man['k']} parity blocks in {out}")
+        return 0
     blocks, size, k = _file_blocks(src, args.block_bytes)
     n = 2 * k
     parity = np.asarray(rs.encode_blocks_jit(jnp.asarray(blocks), field, n))
     dpos, ppos = rs.data_positions(n, k), rs.parity_positions(n, k)
-    # per-block CRC32C integrity tags (native module; recover uses them to
-    # demote silently-corrupted blocks to erasures)
+    # per-block CRC32C integrity tags (recover uses them to demote
+    # silently-corrupted blocks to erasures); native OpenMP when it
+    # builds, bit-identical numpy fallback otherwise — always tagged
+    host.available() or host.build()
     tags = {}
-    if host.available() or host.build():
-        dtags = host.crc32c_blocks(blocks)        # one batched native call
-        ptags = host.crc32c_blocks(parity)
-        for i in range(k):
-            tags[int(dpos[i])] = int(dtags[i])
-            tags[int(ppos[i])] = int(ptags[i])
+    dtags = host.crc32c_blocks(blocks)            # one batched call
+    ptags = host.crc32c_blocks(parity)
+    for i in range(k):
+        tags[int(dpos[i])] = int(dtags[i])
+        tags[int(ppos[i])] = int(ptags[i])
     for i in range(k):
         (out / f"block_{int(dpos[i]):06d}.dat").write_bytes(
             blocks[i].tobytes())
@@ -284,19 +336,34 @@ def cmd_encode(args):
     return 0
 
 
+def _codeword_bytes(man) -> int:
+    from . import packing
+    field = _field(man["field"])
+    bb = man.get("block_bytes", 4096)
+    return man["n"] * packing.field_lanes(field, bb) * 4
+
+
 def cmd_recover(args):
     from . import decode as dec
     src = pathlib.Path(args.dir)
     man = json.loads((src / "manifest.json").read_text())
     field = _field(man["field"])
     n, k, size = man["n"], man["k"], man["size"]
-    survivors, _ = _load_survivors(src, man)
+    out = pathlib.Path(args.out)
+    if _codeword_bytes(man) > args.max_resident << 20:
+        from . import storage
+        wrote = storage.recover_file_stream(
+            src, out, max_resident_bytes=args.max_resident << 20,
+            progress=print)
+        print(f"recovered {man['file']} -> {out} ({size} bytes, "
+              f"{wrote} blocks reconstructed, streamed)")
+        return 0
+    survivors, _, _ = _load_survivors(src, man)
     lost = n - len(survivors)
     print(f"{len(survivors)}/{n} blocks present ({lost} lost); "
           f"need any {k}")
     data = dec.decode_blocks(survivors, n, k, field,
                              block_bytes=man.get("block_bytes", 4096))
-    out = pathlib.Path(args.out)
     out.write_bytes(data.reshape(-1)[:size].tobytes())
     print(f"recovered {man['file']} -> {out} ({size} bytes)")
     return 0
@@ -318,7 +385,7 @@ def cmd_check(args):
     field = _field(man["field"])
     n, k = man["n"], man["k"]
     bb = man.get("block_bytes", 4096)
-    survivors, flagged = _load_survivors(src, man, quiet=True)
+    survivors, flagged, crc_verified = _load_survivors(src, man, quiet=True)
     missing = sorted(set(range(n)) - set(survivors))
     consistent = None
     if not missing:
@@ -326,18 +393,26 @@ def cmd_check(args):
         from .rs import _pad_lanes
         padded, _ = _pad_lanes(jnp.asarray(cw))
         consistent = bool(rs.verify_codeword_jit(padded, field, k))
-    healthy = not missing and consistent is not False
+    # consistent == False with no identified erasures means corruption the
+    # CRC missed: an erasure-only decoder cannot LOCATE the bad block, so
+    # recovery is not guaranteed — report 'inconsistent', not 'degraded'.
+    if consistent is False:
+        status, recoverable, rc = "inconsistent", None, 3
+    elif not missing:
+        status, recoverable, rc = "healthy", True, 0
+    elif len(survivors) >= k:
+        status, recoverable, rc = "degraded", True, 1
+    else:
+        status, recoverable, rc = "unrecoverable", False, 2
     print(json.dumps({
         "n": n, "k": k, "present": len(survivors),
         "flagged": [[p, why] for p, why in flagged],
         "missing_or_corrupt": missing,
+        "crc_verified": crc_verified,
         "codeword_consistent": consistent,
-        "recoverable": len(survivors) >= k,
-        "status": ("healthy" if healthy else
-                   "degraded" if len(survivors) >= k else "unrecoverable")}))
-    if healthy:
-        return 0
-    return 1 if len(survivors) >= k else 2
+        "recoverable": recoverable,
+        "status": status}))
+    return rc
 
 
 def cmd_repair(args):
@@ -358,8 +433,14 @@ def cmd_repair(args):
     n, k = man["n"], man["k"]
     bb = man.get("block_bytes", 4096)
     tags = man.get("crc32c") or {}
-    native = host.available() or host.build()
-    survivors, _ = _load_survivors(src, man)
+    if _codeword_bytes(man) > args.max_resident << 20:
+        from . import storage
+        wrote = storage.recover_file_stream(
+            src, None, max_resident_bytes=args.max_resident << 20,
+            repair=True, progress=print)
+        print(f"repaired {wrote} blocks in {src} (streamed)")
+        return 0
+    survivors, _, _ = _load_survivors(src, man)
     missing = sorted(set(range(n)) - set(survivors))
     if not missing:
         print("nothing to repair")
@@ -372,7 +453,7 @@ def cmd_repair(args):
     from .rs import _pad_lanes
     padded, real = _pad_lanes(jnp.asarray(cw))
     full = np.asarray(dec.decode_host_prepared(
-        padded, np.asarray(missing), field))[:, :real]
+        padded, np.asarray(missing), field, k=k))[:, :real]
     for pos in missing:
         row = jnp.asarray(full[pos:pos + 1])
         if pos in dpos:
@@ -382,7 +463,7 @@ def cmd_repair(args):
             blob = np.asarray(
                 packing.serialize_parity(row, field))[0].tobytes()
             path = src / f"block_{pos:06d}.par"
-        if native and str(pos) in tags:
+        if str(pos) in tags:
             assert host.crc32c(blob) == tags[str(pos)], (
                 f"repaired block {pos} fails its manifest CRC")
         path.write_bytes(blob)
@@ -408,6 +489,10 @@ def cmd_scaling(args):
         devices = jax.devices("cpu")
     assert len(devices) >= args.devices, (
         f"need {args.devices} devices, have {len(devices)}")
+    # virtual CPU devices exercise the sharded program structurally; their
+    # timings are NOT perf data — tag every row so a BASELINE.md entry can
+    # never be built from them by accident
+    virtual = devices[0].platform != "tpu"
     import jax.numpy as jnp
     from . import rs
     from .parallel import make_mesh
@@ -430,7 +515,8 @@ def cmd_scaling(args):
         rows.append({"devices": d, "lanes": lanes,
                      "seconds": round(secs, 4),
                      "gb_per_sec": round(gbps, 4),
-                     "weak_scaling_eff": round(eff, 3)})
+                     "weak_scaling_eff": round(eff, 3),
+                     "virtual": virtual})
         print(json.dumps(rows[-1]))
         d *= 2
     return 0
@@ -457,6 +543,12 @@ def main(argv=None):
     p = sub.add_parser("gf-bench", help="mulmod microbenchmark")
     p.add_argument("--lg-size", type=int, default=24)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--variant", default="jnp",
+                   choices=["jnp", "solinas", "generic", "gf16", "addmod",
+                            "raw-mul", "raw-add", "stream", "all"],
+                   help="Pallas in-VMEM A/B (reference ntt-binary mulmod "
+                        "variant compare); 'all' emits the measured "
+                        "roofline peak table")
     p.set_defaults(fn=cmd_gf_bench)
 
     p = sub.add_parser("ntt-bench", help="NTT throughput")
@@ -493,11 +585,17 @@ def main(argv=None):
     p.add_argument("--block-bytes", type=int, default=4096,
                    help="wire block size (reference `rs` SIZE arg); "
                         "multiple of 4 for GF32, 2 for GF16")
+    p.add_argument("--max-resident", type=int, default=2048, metavar="MB",
+                   help="stream files larger than this through np.memmap "
+                        "lane chunks instead of loading them whole")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("recover", help="recover a file from survivors")
     p.add_argument("dir")
     p.add_argument("-o", "--out", required=True, help="recovered file path")
+    p.add_argument("--max-resident", type=int, default=2048, metavar="MB",
+                   help="stream codewords larger than this (memmap "
+                        "staging + lane-chunk decode)")
     p.set_defaults(fn=cmd_recover)
 
     p = sub.add_parser("check", help="audit a coded directory (CRC + "
@@ -508,6 +606,9 @@ def main(argv=None):
     p = sub.add_parser("repair", help="regenerate missing block files "
                                       "(back to full n-of-n redundancy)")
     p.add_argument("dir")
+    p.add_argument("--max-resident", type=int, default=2048, metavar="MB",
+                   help="stream codewords larger than this (memmap "
+                        "staging + lane-chunk decode)")
     p.set_defaults(fn=cmd_repair)
 
     p = sub.add_parser("scaling", help="weak-scaling sweep over mesh sizes")

@@ -236,40 +236,82 @@ def locator_host(erased_idx: np.ndarray, n: int, field: FieldSpec):
 def decode_prepared(codeword, mask, l_eval_prep, lp_inv_prep,
                     field: FieldSpec):
     """Device half of the host-prepared decode: exactly two [n, lanes]
-    transforms plus ONE elementwise pass.
+    transforms, nothing else.
 
-    Both table multiplies fuse into the transforms' Pallas pass-A
-    prologues (ntt_auto pre_vec): the locator evaluations l(w^j) are zero
-    at erased rows, so they both form h = c*l AND mask the garbage in one
-    multiply; the forward transform's input multiply by m (coefficients
-    of x*h'(x), no index shift) pairs with the x*l' convention of
-    locator_host's lp_inv table — the w^j factors cancel in the Forney
-    quotient. ``mask`` [n] is 1 at erased rows (used only for the final
-    merge); the tables come from :func:`prepare_decode_tables`.
+    Every elementwise step fuses into the transforms (ntt_auto):
+      * pass-A prologue of the inverse transform — multiply by the
+        locator evaluations l(w^j) (zero at erased rows, so this forms
+        h = c*l AND masks the garbage in one multiply);
+      * pass-A prologue of the forward transform — multiply by m (the
+        coefficients of x*h'(x), no index shift), pairing with the x*l'
+        convention of locator_host's lp_inv table so the w^j factors
+        cancel in the Forney quotient;
+      * pass-B epilogue of the forward transform — the Forney divide
+        (multiply by inv(x*l')) and the erased-row merge
+        where(mask, recovered, codeword), which previously cost two
+        separate full-array HBM passes.
+    ``mask`` [n] is 1 at erased rows; the tables come from
+    :func:`prepare_decode_tables`.
     """
     n = codeword.shape[0]
-    rest = (1,) * (codeword.ndim - 1)
-    maskb = (mask == 1).reshape((n,) + rest)
     h_coeffs = ntt_auto(codeword, field, inverse=True,
                         pre_vec=l_eval_prep)
-    hp_eval = ntt_auto(h_coeffs, field,
-                       pre_vec=jnp.asarray(_xderiv_consts(field.name, n)))
-    recovered = gf.mul_prepared_device(
-        field, hp_eval, lp_inv_prep.reshape((n,) + rest))
-    return jnp.where(maskb, recovered, codeword)
+    return ntt_auto(h_coeffs, field,
+                    pre_vec=jnp.asarray(_xderiv_consts(field.name, n)),
+                    post_vec=lp_inv_prep, sel_mask=mask,
+                    sel_orig=codeword)
 
 
 decode_prepared_jit = jax.jit(decode_prepared, static_argnames=("field",))
 
 
-def prepare_decode_tables(erased_idx, n: int, field: FieldSpec):
-    """One-stop host prep for the fast decode paths: returns the
-    (mask [n], prepared locator evaluations [n], prepared inverse
-    derivative [n]) device arrays that decode_prepared/
-    decode_prepared_sharded consume. Build once per erasure pattern and
-    reuse across codewords/chunks."""
-    from .ntt import prepare_consts
+def _decode_tables_device(erased_idx, n: int, field: FieldSpec):
+    """All-device build of the decode tables from (traced) erasure
+    positions: the locator product tree, both scalar evaluation NTTs
+    (batched as one [n, 2] transform), and the batched inversion run as
+    ONE jitted device program — at e = 2^19 this replaces ~2 s of
+    single-core host numpy with ~10^2 ms of device work (every tree level
+    is a batched NTT over [2d, e/d] arrays, exactly what the chip is
+    for). Bit-exact equal to locator_host (test-enforced)."""
+    e = erased_idx.shape[0]
+    erased_idx = jnp.asarray(erased_idx, dtype=jnp.uint32)
+    mask = jnp.zeros((n,), jnp.uint32).at[erased_idx].set(1)
+    lc = locator_coeffs(erased_idx, n, field)          # [e+1]
+    lpad = jnp.concatenate([lc, jnp.zeros((n - e - 1,), jnp.uint32)])
+    dx = jnp.asarray(_xderiv_consts(field.name, n))
+    lpx = mul_prepared(field, lpad, dx)                # x*l' coefficients
+    both = ntt(jnp.stack([lpad, lpx], axis=1), field)  # [n, 2]
+    l_eval, lpx_eval = both[:, 0], both[:, 1]
+    lp_inv = gf.inv(field, lpx_eval)
+    return (mask, gf.prepare_device(field, l_eval),
+            gf.prepare_device(field, lp_inv))
+
+
+prepare_decode_tables_device = jax.jit(
+    _decode_tables_device, static_argnames=("n", "field"))
+
+
+def prepare_decode_tables(erased_idx, n: int, field: FieldSpec,
+                          locator: str = "auto"):
+    """One-stop prep for the fast decode paths: returns the (mask [n],
+    prepared locator evaluations [n], prepared inverse derivative [n])
+    device arrays that decode_prepared/decode_prepared_sharded consume.
+    Build once per erasure pattern and reuse across codewords/chunks.
+
+    ``locator`` selects where the product tree runs: "host" (vectorized
+    numpy + optional native NTT — no device round-trip), "device" (one
+    jitted program; far faster for large e when a TPU is attached), or
+    "auto" (device on a TPU backend when e is large enough to win)."""
+    assert locator in ("auto", "host", "device")
     erased = np.asarray(erased_idx)
+    e = int(erased.shape[0])
+    if locator == "auto":
+        locator = ("device" if jax.default_backend() == "tpu"
+                   and e >= 4096 else "host")
+    if locator == "device":
+        return prepare_decode_tables_device(jnp.asarray(erased, jnp.uint32),
+                                            n, field)
+    from .ntt import prepare_consts
     l_eval, lp_inv = locator_host(erased, n, field)
     mask = np.zeros(n, np.uint32)
     mask[erased] = 1
@@ -309,18 +351,30 @@ def decode_stream(codeword: np.ndarray, erased_idx, field: FieldSpec,
     return stream_lane_chunks(lanes, chunk_lanes, dispatch, out)
 
 
-def decode_host_prepared(codeword, erased_idx, field: FieldSpec):
+def _check_recoverable(e: int, n: int, k: int | None):
+    """Loud information-theoretic guard: recovery needs e <= n - k
+    (deg(f*l) < n); beyond that the decoder returns garbage silently."""
+    if k is not None:
+        assert e <= n - k, (
+            f"unrecoverable: {e} erasures > n - k = {n - k} "
+            f"(an [n={n}, k={k}] code tolerates at most n-k losses)")
+
+
+def decode_host_prepared(codeword, erased_idx, field: FieldSpec,
+                         k: int | None = None):
     """Full decode with host-built locator tables (the fast product path).
 
     Bit-exact equal to :func:`decode`; erasure positions must be concrete
-    host values (numpy), not traced arrays.
+    host values (numpy), not traced arrays. Pass ``k`` (the data-block
+    count) to enforce the e <= n - k recoverability bound loudly.
     """
     n = codeword.shape[0]
+    _check_recoverable(int(np.asarray(erased_idx).shape[0]), n, k)
     mask, lp, ip = prepare_decode_tables(erased_idx, n, field)
     return decode_prepared_jit(codeword, mask, lp, ip, field)
 
 
-def decode(codeword, erased_idx, field: FieldSpec):
+def decode(codeword, erased_idx, field: FieldSpec, k: int | None = None):
     """Recover erased rows of a codeword.
 
     Args:
@@ -330,6 +384,9 @@ def decode(codeword, erased_idx, field: FieldSpec):
         e >= 1. Exact recovery requires e <= n - k (deg(f*l) < n); this is
         the information-theoretic bound, not an implementation limit.
       field: field spec.
+      k: data-block count of the code, if known; when given, the
+        e <= n - k recoverability bound is asserted loudly instead of
+        silently returning garbage.
 
     Returns:
       [n, lanes] uint32 with every erased row replaced by its recovered
@@ -339,6 +396,7 @@ def decode(codeword, erased_idx, field: FieldSpec):
     _log2(n)
     e = erased_idx.shape[0]
     assert 1 <= e < n
+    _check_recoverable(e, n, k)
     erased_idx = jnp.asarray(erased_idx, dtype=jnp.uint32)
     mask = jnp.zeros((n,), jnp.uint32).at[erased_idx].set(1)
 
@@ -351,24 +409,20 @@ def decode(codeword, erased_idx, field: FieldSpec):
     # rides the inverse transform's input (and masks garbage — l is zero
     # at erased rows); the UNSHIFTED derivative x*h' (coefficients m*h_m)
     # rides the forward transform's input, and its w^j factor cancels the
-    # matching one of x*l' in the Forney quotient.
-    rest = (1,) * (codeword.ndim - 1)
+    # matching one of x*l' in the Forney quotient; the Forney divide and
+    # the erased-row merge ride the forward transform's pass-B epilogue.
     l_prep = gf.prepare_device(field, l_eval)
     h_coeffs = ntt_auto(codeword, field, inverse=True, pre_vec=l_prep)
 
     dx = jnp.asarray(_xderiv_consts(field.name, n))
-    hp_eval = ntt_auto(h_coeffs, field, pre_vec=dx)    # w^j h'(w^j)
-
     lpx = mul_prepared(field, lpad, dx)                # x*l' coefficients
     lpx_eval = ntt(lpx, field)                         # w^j l'(w^j), [n]
     lp_inv = gf.prepare_device(field, gf.inv(field, lpx_eval))
-
-    recovered = gf.mul_prepared_device(
-        field, hp_eval, lp_inv.reshape((n,) + rest))
-    return jnp.where((mask == 1).reshape((n,) + rest), recovered, codeword)
+    return ntt_auto(h_coeffs, field, pre_vec=dx, post_vec=lp_inv,
+                    sel_mask=mask, sel_orig=codeword)
 
 
-decode_jit = jax.jit(decode, static_argnames=("field",))
+decode_jit = jax.jit(decode, static_argnames=("field", "k"))
 
 
 # ---------------------------------------------------------------------------
@@ -442,7 +496,8 @@ def decode_blocks(survivors: dict, n: int, k: int, field: FieldSpec,
         padded, real_lanes = _pad_lanes(jnp.asarray(cw))
         # positions are host-known here: the host-prepared locator path
         # skips the on-device product tree (thousands of tiny kernels)
-        full = decode_host_prepared(padded, erased, field)[:, :real_lanes]
+        full = decode_host_prepared(padded, erased, field,
+                                    k=k)[:, :real_lanes]
     else:
         full = jnp.asarray(cw)
     data_rows = full[data_positions(n, k)]

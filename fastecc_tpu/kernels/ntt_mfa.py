@@ -240,6 +240,33 @@ def _row_kernel(tw_ref, w3_ref, y_ref, out_ref, *, field: FieldSpec, r: int,
                              w3_ref[:] if radix == 4 else None)
 
 
+def _row_kernel_post(tw_ref, w3_ref, pvec_ref, y_ref, out_ref, *,
+                     field: FieldSpec, r: int, radix: int):
+    """Pass B with a fused OUTPUT-side multiply out[k] *= v[k] from a
+    prepared [N] table (viewed [R, C]; each grid step reads its [R, TR]
+    tile). Mirror of the pass-A pre_vec fusion — decode folds its Forney
+    inverse-derivative multiply here instead of a separate elementwise
+    pass over the whole [N, L] array."""
+    y = _ntt_stages(y_ref[:], field, tw_ref[:], r,
+                    w3_ref[:] if radix == 4 else None)
+    out_ref[:] = mul_prepared(field, y, pvec_ref[0][:, :, None])
+
+
+def _row_kernel_post_sel(tw_ref, w3_ref, pvec_ref, mask_ref, orig_ref,
+                         y_ref, out_ref, *, field: FieldSpec, r: int,
+                         radix: int):
+    """Pass B with the fused output multiply AND a row select: rows where
+    mask[k] != 0 take the computed value, others pass ``orig`` through.
+    Decode's erased-row merge (recovered at erasures, survivor data
+    elsewhere) rides the transform epilogue — the [N, L] original is read
+    once here instead of by a separate jnp.where pass."""
+    y = _ntt_stages(y_ref[:], field, tw_ref[:], r,
+                    w3_ref[:] if radix == 4 else None)
+    y = mul_prepared(field, y, pvec_ref[0][:, :, None])
+    keep = mask_ref[0][:, :, None] != 0
+    out_ref[:] = jnp.where(keep, y, orig_ref[:])
+
+
 def _supported(n: int, lanes: int) -> bool:
     t = _log2(n)
     c = 1 << ((t + 1) // 2)
@@ -261,7 +288,8 @@ def _pre_mul_tables(field_name: str, g_pre: int, c: int, r: int, tr: int):
 
 def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
                scale: bool = True, pre_seed: int | None = None,
-               interpret: bool = False, radix: int = 4, pre_vec=None):
+               interpret: bool = False, radix: int = 4, pre_vec=None,
+               post_vec=None, sel_mask=None, sel_orig=None):
     """Two-pass fused NTT along axis 0 of [N, L]; bit-exact vs ntt.ntt.
 
     ``pre_seed=g`` fuses an input-side multiply x[m] *= g^m into pass A
@@ -269,12 +297,23 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
     with zero extra HBM passes). ``pre_vec`` fuses a GENERAL input-side
     multiply by a prepared (Montgomery-scaled for GF32) traced [N] table
     instead — decode folds its locator/derivative multiplies this way.
-    The two are mutually exclusive. Requires N >= 2^7-ish (R >= 8) and
-    L % 128 == 0; callers fall back to the staged jnp path otherwise.
-    ``radix=4`` merges butterfly-stage pairs in VMEM (bit-exact).
+    The two are mutually exclusive.
+
+    ``post_vec`` fuses an OUTPUT-side multiply out[k] *= v[k] (prepared
+    [N] table) into pass B; ``sel_mask``/``sel_orig`` (given together,
+    and only with post_vec) additionally fuse the row merge
+    ``where(mask[k] != 0, out[k], orig[k])`` — decode's Forney divide and
+    erased-row select, saving two full elementwise HBM passes.
+
+    Requires N >= 2^7-ish (R >= 8) and L % 128 == 0; callers fall back to
+    the staged jnp path otherwise. ``radix=4`` merges butterfly-stage
+    pairs in VMEM (bit-exact).
     """
     assert radix in (2, 4)
     assert pre_seed is None or pre_vec is None
+    assert (sel_mask is None) == (sel_orig is None)
+    assert sel_mask is None or post_vec is not None, (
+        "the fused select requires post_vec")
     n, lanes = x.shape
     t = _log2(n)
     c = 1 << ((t + 1) // 2)
@@ -343,14 +382,39 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
         interpret=interpret,
     )(*a_args, x3)
 
+    b_specs = [
+        pl.BlockSpec((r, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    b_args = [tw_r, w3_r]
+    if post_vec is not None:
+        # output index k = k_r*C + k_c: the [N] table viewed [R, C]; tile
+        # [R, TR] per grid step, reshaped [C/TR, R, TR] for Mosaic-legal
+        # trailing dims (same trick as the pass-A pre_vec table)
+        kernel_b = functools.partial(
+            _row_kernel_post_sel if sel_mask is not None else
+            _row_kernel_post, field=field, r=r, radix=radix)
+        pv3 = post_vec.reshape(r, c // _TR, _TR).transpose(1, 0, 2)
+        b_specs.append(pl.BlockSpec((1, r, _TR), lambda i, j: (i, 0, 0),
+                                    memory_space=pltpu.VMEM))
+        b_args.append(pv3)
+        if sel_mask is not None:
+            m3 = sel_mask.reshape(r, c // _TR, _TR).transpose(1, 0, 2)
+            b_specs.append(pl.BlockSpec((1, r, _TR), lambda i, j: (i, 0, 0),
+                                        memory_space=pltpu.VMEM))
+            b_args.append(m3)
+            b_specs.append(pl.BlockSpec((r, _TR, _TL),
+                                        lambda i, j: (0, i, j),
+                                        memory_space=pltpu.VMEM))
+            b_args.append(sel_orig.reshape(r, c, lanes))
+    else:
+        kernel_b = functools.partial(_row_kernel, field=field, r=r,
+                                     radix=radix)
+
     row = pl.pallas_call(
-        functools.partial(_row_kernel, field=field, r=r, radix=radix),
+        kernel_b,
         grid=(c // _TR, lanes // _TL),
-        in_specs=[
-            pl.BlockSpec((r, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=b_specs + [
             pl.BlockSpec((r, _TR, _TL), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
         ],
@@ -360,7 +424,7 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(tw_r, w3_r, col)
+    )(*b_args, col)
 
     # k = k_c + C*k_r with k_r-major rows: row is already natural order.
     return row.reshape(n, lanes)

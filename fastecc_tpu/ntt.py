@@ -258,32 +258,45 @@ intt_jit = jax.jit(intt, static_argnames=("field", "scale"))
 
 
 def ntt_auto(x, field: FieldSpec, inverse: bool = False, scale: bool = True,
-             pre_seed: int | None = None, pre_vec=None):
+             pre_seed: int | None = None, pre_vec=None, post_vec=None,
+             sel_mask=None, sel_orig=None):
     """Best-backend NTT along axis 0: the fused two-pass Pallas MFA kernel
     on TPU for supported shapes (kernels/ntt_mfa.py), else the staged jnp
     Stockham path. ``pre_seed=g`` applies the input-side multiply
     x[m] *= g^m; ``pre_vec`` (a prepared traced [N] table, exclusive with
-    pre_seed) applies a general input-side multiply x[m] *= v[m] — both
-    free in the Pallas path, one extra pass in the fallback. Bit-exact
-    across backends.
+    pre_seed) applies a general input-side multiply x[m] *= v[m].
+    ``post_vec`` applies an output-side multiply out[k] *= v[k];
+    ``sel_mask``/``sel_orig`` (together, and only with post_vec) apply the
+    row merge where(mask != 0, out, orig) — decode's Forney divide and
+    erased-row select. All fusions are free HBM-wise in the Pallas path
+    (kernel prologue/epilogue), extra elementwise passes in the fallback.
+    Bit-exact across backends.
     """
     from .kernels import ntt_mfa  # local import: kernels pull in pallas
 
     assert pre_seed is None or pre_vec is None, (
         "pre_seed and pre_vec are mutually exclusive")
+    assert (sel_mask is None) == (sel_orig is None)
+    assert sel_mask is None or post_vec is not None
     if (x.ndim == 2 and jax.default_backend() == "tpu"
             and ntt_mfa._supported(x.shape[0], x.shape[1])):
         return ntt_mfa.ntt_pallas(x, field, inverse=inverse, scale=scale,
-                                  pre_seed=pre_seed, pre_vec=pre_vec)
+                                  pre_seed=pre_seed, pre_vec=pre_vec,
+                                  post_vec=post_vec, sel_mask=sel_mask,
+                                  sel_orig=sel_orig)
     n = x.shape[0]
+    rest = (1,) * (x.ndim - 1)
     if pre_seed is not None:
         pre = _pre_powers(field.name, pre_seed % field.p, n)
-        x = mul_prepared(
-            field, x, jnp.asarray(pre).reshape((n,) + (1,) * (x.ndim - 1)))
+        x = mul_prepared(field, x, jnp.asarray(pre).reshape((n,) + rest))
     if pre_vec is not None:
-        x = mul_prepared(field, x,
-                         pre_vec.reshape((n,) + (1,) * (x.ndim - 1)))
-    return ntt(x, field, inverse=inverse, scale=scale)
+        x = mul_prepared(field, x, pre_vec.reshape((n,) + rest))
+    out = ntt(x, field, inverse=inverse, scale=scale)
+    if post_vec is not None:
+        out = mul_prepared(field, out, post_vec.reshape((n,) + rest))
+    if sel_mask is not None:
+        out = jnp.where((sel_mask != 0).reshape((n,) + rest), out, sel_orig)
+    return out
 
 
 @functools.lru_cache(maxsize=None)

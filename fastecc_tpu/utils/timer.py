@@ -34,6 +34,21 @@ def ensure_host_device_flag(count: int) -> None:
     os.environ["XLA_FLAGS"] = flags
 
 
+def enable_persistent_cache(path: str | None = None) -> str:
+    """Point JAX's persistent compilation cache at ``path`` (default:
+    ``~/.cache/fastecc_jax``). Useful on CPU backends (the test suite
+    enables it in conftest). WARNING: on the axon-tunneled TPU backend
+    this HANGS the first compile (the plugin cannot serialize its
+    executables) — do not enable when jax.default_backend() may be the
+    axon TPU. Safe to call more than once; returns the directory used."""
+    path = path or os.path.expanduser("~/.cache/fastecc_jax")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path
+
+
 def fence(out):
     """Force completion of a computation's outputs.
 

@@ -227,3 +227,48 @@ def test_adversarial_erasure_suite(field):
         out = np.asarray(dec.decode_host_prepared(
             jnp.asarray(garbled), erased, field))
         np.testing.assert_array_equal(out, cw, err_msg=f"pattern {name}")
+
+
+def test_decode_recoverability_guard():
+    """e > n - k with k given must fail loudly, not return garbage."""
+    import pytest
+
+    from fastecc_tpu.fields import GF32
+    n, k = 32, 16
+    cw = jnp.asarray(np.zeros((n, 4), np.uint32))
+    bad = np.arange(17, dtype=np.uint32)  # 17 > n - k = 16
+    with pytest.raises(AssertionError, match="unrecoverable"):
+        dec.decode(cw, jnp.asarray(bad), GF32, k=k)
+    with pytest.raises(AssertionError, match="unrecoverable"):
+        dec.decode_host_prepared(cw, bad, GF32, k=k)
+    # e == n - k is allowed
+    dec.decode_host_prepared(
+        jnp.asarray(np.asarray(rs.encode_jit(
+            jnp.asarray(np.zeros((k, 4), np.uint32)), GF32, n))),
+        np.arange(16, dtype=np.uint32), GF32, k=k)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_prepare_tables_device_matches_host(field):
+    """The one-jitted-program device table build (mask, l_eval, lp_inv)
+    must match the host numpy build bit-exactly at every meaningful
+    position (lp_inv is don't-care off the erased set)."""
+    n, e = 256, 100
+    erased = np.sort(RNG.choice(n, size=e, replace=False))
+    mh, lh, ih = dec.prepare_decode_tables(erased, n, field,
+                                           locator="host")
+    md, ld, id_ = dec.prepare_decode_tables(erased, n, field,
+                                            locator="device")
+    np.testing.assert_array_equal(np.asarray(mh), np.asarray(md))
+    np.testing.assert_array_equal(np.asarray(lh), np.asarray(ld))
+    np.testing.assert_array_equal(np.asarray(ih)[erased],
+                                  np.asarray(id_)[erased])
+    # and the tables actually decode
+    k = n // 2
+    data = rand_field(field, (k, 3))
+    cw = np.asarray(rs.encode(jnp.asarray(data), field, n))
+    garbled = cw.copy()
+    garbled[erased] = rand_field(field, (e, 3))
+    out = np.asarray(dec.decode_prepared_jit(
+        jnp.asarray(garbled), md, ld, id_, field))
+    np.testing.assert_array_equal(out, cw)

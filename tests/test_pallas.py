@@ -9,6 +9,7 @@ verification drill).
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from fastecc_tpu.fields import GF16, GF32
@@ -79,3 +80,71 @@ def test_pallas_fused_general_prevec(field):
     goti = np.asarray(ntt_pallas(x, field, pre_vec=vp, inverse=True,
                                  interpret=True))
     np.testing.assert_array_equal(goti, wanti)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_pallas_fused_postvec(field):
+    """post_vec must equal the NTT followed by an explicit out[k] *= v[k]."""
+    n = 1 << 8
+    x = jnp.asarray(rand_field(field, (n, 128)))
+    v = rand_field(field, (n,))
+    vp = jnp.asarray(prepare_consts(field, v))
+    want = np.asarray(mul_prepared(field, ntt(x, field), vp[:, None]))
+    got = np.asarray(ntt_pallas(x, field, post_vec=vp, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_pallas_fused_postvec_select(field):
+    """post_vec + sel must equal NTT -> multiply -> where(mask, ., orig);
+    the decode epilogue (Forney divide + erased-row merge) in one pass."""
+    n = 1 << 8
+    x = jnp.asarray(rand_field(field, (n, 128)))
+    orig = jnp.asarray(rand_field(field, (n, 128)))
+    v = rand_field(field, (n,))
+    vp = jnp.asarray(prepare_consts(field, v))
+    mask = jnp.asarray((RNG.integers(0, 2, size=n)).astype(np.uint32))
+    prod = mul_prepared(field, ntt(x, field), vp[:, None])
+    want = np.asarray(jnp.where((mask != 0)[:, None], prod, orig))
+    got = np.asarray(ntt_pallas(x, field, post_vec=vp, sel_mask=mask,
+                                sel_orig=orig, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    # and combined with a pre_vec on the input side (the full decode shape)
+    want2 = np.asarray(jnp.where(
+        (mask != 0)[:, None],
+        mul_prepared(field, ntt(mul_prepared(field, x, vp[:, None]), field),
+                     vp[:, None]), orig))
+    got2 = np.asarray(ntt_pallas(x, field, pre_vec=vp, post_vec=vp,
+                                 sel_mask=mask, sel_orig=orig,
+                                 interpret=True))
+    np.testing.assert_array_equal(got2, want2)
+
+
+def test_microbench_chain_kernels_interpret():
+    """Every microbench chain variant must equal its jnp reference (the
+    peaks table is only as honest as the kernels are correct)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fastecc_tpu.kernels import microbench as mb
+
+    rows = mb._TS
+    x = (jnp.arange(rows * mb._TL, dtype=jnp.uint32)
+         & jnp.uint32(0xFFFF)).reshape(rows, mb._TL)
+    for variant, step in mb._VARIANTS.items():
+        out = pl.pallas_call(
+            functools.partial(mb._chain_kernel, variant=variant, depth=3),
+            grid=(1,),
+            in_specs=[pl.BlockSpec((mb._TS, mb._TL), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((mb._TS, mb._TL), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, mb._TL), jnp.uint32),
+            interpret=True)(x)
+        y = x
+        for _ in range(3):
+            y = step(y)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(y),
+                                      err_msg=variant)
