@@ -101,7 +101,7 @@ def _mul_wide(a, b):
 # Montgomery multiplication (GF32 path; C2/C3).
 # ---------------------------------------------------------------------------
 
-def mont_mul(field: FieldSpec, a, b):
+def mont_mul(field: FieldSpec, a, b, generic: bool = False):
     """REDC(a * b) = a * b * R^-1 mod p, R = 2^32. Requires a, b < p.
 
     If b is a Montgomery-scaled constant (b = c * R mod p), the result is
@@ -114,12 +114,14 @@ def mont_mul(field: FieldSpec, a, b):
       m     = lo * n' mod 2^32 = -(lo + (lo << 20))          [n' = p - 2]
       m * p = (m - (m >> 12)) * 2^32 + (m - ((m & 0xFFF) << 20))
     so (m*p) >> 32 = m - (m >> 12) - [m < ((m & 0xFFF) << 20)].
-    Bit-identical to the generic path (test-enforced).
+    Bit-identical to the generic path (test-enforced); ``generic=True``
+    forces the limb-product REDC even for the Solinas prime (the
+    microbenchmark A/B — SURVEY.md §3.3's mulmod-variant comparison).
     """
     assert field.use_mont
     p = _U32(field.p)
     hi, lo = _mul_wide(a, b)
-    if field.p == 0xFFF00001:
+    if field.p == 0xFFF00001 and not generic:
         m = _U32(0) - (lo + (lo << _U32(20)))        # wraps mod 2^32
         s20 = (m & _U32(0xFFF)) << _U32(20)
         mp_hi = m - (m >> _U32(12)) - (m < s20).astype(jnp.uint32)

@@ -174,15 +174,55 @@ def mulmod(a: np.ndarray, b: np.ndarray, field: FieldSpec) -> np.ndarray:
     return out
 
 
+_crc_table_np = None
+
+
+def _crc32c_table():
+    """Reflected-Castagnoli byte table (identical to the native one)."""
+    global _crc_table_np
+    if _crc_table_np is None:
+        tab = np.empty(256, dtype=np.uint32)
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (0x82F63B78 ^ (c >> 1)) if (c & 1) else (c >> 1)
+            tab[i] = c
+        _crc_table_np = tab
+    return _crc_table_np
+
+
+def crc32c_np(data: bytes | np.ndarray) -> int:
+    """Pure-numpy CRC32C; bit-identical to the native crc32c (fallback so
+    integrity checking never silently disappears when the toolchain is
+    absent)."""
+    a = np.frombuffer(bytes(data), dtype=np.uint8)
+    return int(crc32c_blocks_np(a.reshape(1, -1))[0])
+
+
+def crc32c_blocks_np(blocks: np.ndarray) -> np.ndarray:
+    """Per-row CRC32C in numpy: one vectorized table step per byte COLUMN
+    (4096 steps for the wire format, each over all rows at once)."""
+    tab = _crc32c_table()
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
+    crc = np.full(blocks.shape[0], 0xFFFFFFFF, dtype=np.uint32)
+    for j in range(blocks.shape[1]):
+        crc = tab[(crc ^ blocks[:, j]) & 0xFF] ^ (crc >> np.uint32(8))
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
 def crc32c(data: bytes | np.ndarray) -> int:
-    assert _load()
+    """CRC32C of a byte string: native when loaded, numpy otherwise."""
+    if not _load():
+        return crc32c_np(data)
     a = np.frombuffer(bytes(data), dtype=np.uint8)
     return int(_lib.crc32c(_u8p(a), a.size))
 
 
 def crc32c_blocks(blocks: np.ndarray) -> np.ndarray:
-    """Per-row CRC32C tags for a [k, block_bytes] uint8 array."""
-    assert _load()
+    """Per-row CRC32C tags for a [k, block_bytes] uint8 array (native
+    OpenMP when loaded, vectorized numpy otherwise)."""
+    if not _load():
+        return crc32c_blocks_np(blocks)
     blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
     tags = np.empty(blocks.shape[0], dtype=np.uint32)
     _lib.crc32c_blocks(_u8p(blocks), blocks.shape[0], blocks.shape[1],

@@ -74,37 +74,77 @@ def _split_dims(n: int, d: int, c_dim: int | None):
 
 
 def ntt_sharded(x, field: FieldSpec, mesh: Mesh, inverse: bool = False,
-                c_dim: int | None = None, scale: bool = True):
+                c_dim: int | None = None, scale: bool = True,
+                input_transposed: bool = False,
+                output_transposed: bool = False):
     """N-point NTT along axis 0 of [N, L], sharded P('coeff', 'block').
 
     Bit-exact equal to the single-chip ``ntt.ntt`` (natural order in/out);
     input may have any sharding (constrained on entry), output is
     P('coeff', 'block').
+
+    Transposed-layout handoff (the all_to_all fusion): the four-step's
+    final collective only re-shards the finished natural-order result
+    from inner-axis (k_c) to outer-axis (k) slabs — the VALUES are done
+    after the second local NTT. ``output_transposed=True`` skips it and
+    returns the natural array viewed [R, C, L] with the INNER axis
+    sharded (P(None, 'coeff', 'block')); ``input_transposed=True``
+    accepts exactly that layout ([A, B, L], logical m = A-major) and
+    skips its own first collective by choosing the split (C=A, R=B).
+    Chaining transform -> elementwise -> transform through this handoff
+    saves two of six all_to_alls per pair — the iNTT->coset-NTT seam in
+    the distributed RS encode and the iNTT->NTT seam in decode.
     """
-    n = x.shape[0]
     d = mesh.shape["coeff"]
+    lanes = x.shape[-1]
+    if input_transposed:
+        assert x.ndim == 3, "transposed layout is [A, B, L]"
+        c_in, r_in = x.shape[0], x.shape[1]   # split is fixed by layout
+        assert c_dim is None or c_dim == c_in
+        c_dim, r_dim = c_in, r_in
+        n = c_dim * r_dim
+        assert c_dim % d == 0 and r_dim % d == 0, (
+            f"coeff axis {d} must divide both axes of the transposed "
+            f"input {x.shape[:2]}")
+    else:
+        n = x.shape[0]
+        if d > 1:
+            c_dim, r_dim = _split_dims(n, d, c_dim)
+    use_pallas = mesh.devices.flat[0].platform == "tpu"
+
     if d == 1:
-        use_pallas = mesh.devices.flat[0].platform == "tpu"
-        out = _local_ntt(x[:, None, :], field, inverse,
+        xn = x.reshape(n, lanes)   # transposed layout IS natural, row-major
+        out = _local_ntt(xn[:, None, :], field, inverse,
                          use_pallas)[:, 0, :]
         if inverse and scale:
             out = gf.mul_const(field, out, field.inv_host(n))
+        if output_transposed:
+            cd = c_dim or 1 << (_log2(n) // 2)
+            return jax.lax.with_sharding_constraint(
+                out.reshape(n // cd, cd, lanes),
+                NamedSharding(mesh, P(None, "coeff", "block")))
         return jax.lax.with_sharding_constraint(
             out, NamedSharding(mesh, P("coeff", "block")))
-    c_dim, r_dim = _split_dims(n, d, c_dim)
+
     tw = jnp.asarray(_four_step_twiddles(field.name, n, c_dim, inverse))
-    use_pallas = mesh.devices.flat[0].platform == "tpu"
 
     def body(xl, twl):
         # xl: [C/D, R, L_b] (c-slab), twl: [C, R/D] (r-slab of the table)
-        y = jax.lax.all_to_all(xl, "coeff", split_axis=1, concat_axis=0,
-                               tiled=True)               # [C, R/D, L_b]
+        if input_transposed:
+            y = xl                                       # [C, R/D, L_b]
+        else:
+            y = jax.lax.all_to_all(xl, "coeff", split_axis=1,
+                                   concat_axis=0, tiled=True)
         y = _local_ntt(y, field, inverse, use_pallas)    # axis 0: c -> k_c
         y = mul_prepared(field, y, twl[:, :, None])      # w_N^(k_c * r)
         y = jax.lax.all_to_all(y, "coeff", split_axis=0, concat_axis=1,
                                tiled=True)               # [C/D, R, L_b]
         y = jnp.moveaxis(y, 1, 0)                        # [R, C/D, L_b]
         y = _local_ntt(y, field, inverse, use_pallas)    # axis 0: r -> k_r
+        if output_transposed:
+            if inverse and scale:
+                y = gf.mul_const(field, y, field.inv_host(n))
+            return y                                     # [R, C/D, L_b]
         y = jax.lax.all_to_all(y, "coeff", split_axis=0, concat_axis=1,
                                tiled=True)               # [R/D, C, L_b]
         # local slab is k = k_c + C*k_r for k_r in this device's range:
@@ -116,41 +156,62 @@ def ntt_sharded(x, field: FieldSpec, mesh: Mesh, inverse: bool = False,
 
     # check_vma=False: Pallas out_shapes carry no varying-mesh-axes info,
     # which the vma checker (default-on) rejects inside shard_map.
+    in_spec = (P(None, "coeff", "block") if input_transposed
+               else P("coeff", None, "block"))
+    out_spec = (P(None, "coeff", "block") if output_transposed
+                else P("coeff", "block"))
     shmap = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P("coeff", None, "block"), P(None, "coeff")),
-        out_specs=P("coeff", "block"), check_vma=False)
-    lanes = x.shape[1]
+        body, mesh=mesh, in_specs=(in_spec, P(None, "coeff")),
+        out_specs=out_spec, check_vma=False)
     xr = jax.lax.with_sharding_constraint(
-        x.reshape(c_dim, r_dim, lanes),
-        NamedSharding(mesh, P("coeff", None, "block")))
-    return shmap(xr, tw).reshape(n, lanes)
+        x if input_transposed else x.reshape(c_dim, r_dim, lanes),
+        NamedSharding(mesh, in_spec))
+    out = shmap(xr, tw)
+    if output_transposed:
+        return out                                       # [R, C, L] global
+    return out.reshape(n, lanes)
 
 
 ntt_sharded_jit = jax.jit(
     ntt_sharded, static_argnames=("field", "mesh", "inverse", "c_dim",
-                                  "scale"))
+                                  "scale", "input_transposed",
+                                  "output_transposed"))
 
 
 def encode_parity_sharded(data, field: FieldSpec, mesh: Mesh,
                           n: int | None = None):
     """Distributed RS parity: iNTT_k -> coset twiddle -> NTT_k, all
-    sharded; matches rs.encode_parity bit-exactly (row order included)."""
+    sharded; matches rs.encode_parity bit-exactly (row order included).
+
+    Communication: the iNTT hands its result to each coset NTT in the
+    transposed layout (see ntt_sharded), so the seam between them costs
+    ZERO collectives — the whole c=2 encode runs 4 all_to_alls instead of
+    the naive 6 (2 per transform instead of 3). The iNTT's k^-1 scale is
+    folded into the coset twiddle table (rs._coset_twiddles_scaled), and
+    the coset multiply itself is an elementwise op on the sharded layout.
+    """
+    from ..rs import _coset_twiddles_scaled
+
     k = data.shape[0]
     n = 2 * k if n is None else n
     _check_kn(k, n)
     c = n // k
     lanes = data.shape[1]
-    coeffs = ntt_sharded(data, field, mesh, inverse=True)
-    tws = jnp.asarray(_coset_twiddles(field.name, n, k))
+    d = mesh.shape["coeff"]
     spec = NamedSharding(mesh, P("coeff", "block"))
+    coeffs_t = ntt_sharded(data, field, mesh, inverse=True, scale=False,
+                           output_transposed=True)       # [R, C, L]
+    r_dim, c_dim = coeffs_t.shape[0], coeffs_t.shape[1]
+    tws = jnp.asarray(_coset_twiddles_scaled(field.name, n, k))
     cosets = []
     for r in range(1, c):
-        tw = jax.lax.with_sharding_constraint(
-            jnp.broadcast_to(tws[r - 1][:, None], (k, 1)),
-            NamedSharding(mesh, P("coeff", None)))
-        prod = mul_prepared(field, coeffs, tw)
-        cosets.append(ntt_sharded(prod, field, mesh))
+        # natural index m = k_c + C*k_r: the [k] table viewed [R, C]
+        tw_t = jax.lax.with_sharding_constraint(
+            tws[r - 1].reshape(r_dim, c_dim, 1),
+            NamedSharding(mesh, P(None, "coeff", None)))
+        prod = mul_prepared(field, coeffs_t, tw_t)
+        cosets.append(ntt_sharded(prod, field, mesh,
+                                  input_transposed=True))
     stacked = jnp.stack(cosets, axis=1)                  # [k, c-1, L]
     out = stacked.reshape(n - k, lanes)
     return jax.lax.with_sharding_constraint(out, spec)
@@ -184,10 +245,18 @@ def decode_prepared_sharded(codeword, mask, l_eval_prep, lp_inv_prep,
 
     maskb = (mask == 1)[:, None]
     h_eval = gf.mul_prepared_device(field, cw, l_eval_prep[:, None])
-    h_coeffs = ntt_sharded(h_eval, field, mesh, inverse=True)
+    # transposed-layout seam between the two transforms: the derivative
+    # multiply is elementwise, so it runs on the inner-axis-sharded
+    # intermediate and the iNTT->NTT pair costs 4 all_to_alls, not 6
+    h_coeffs_t = ntt_sharded(h_eval, field, mesh, inverse=True,
+                             output_transposed=True)     # [R, C, L]
+    r_dim, c_dim = h_coeffs_t.shape[0], h_coeffs_t.shape[1]
     dx = jnp.asarray(_xderiv_consts(field.name, n))
-    h_der = gf.mul_prepared_device(field, h_coeffs, dx[:, None])
-    hp_eval = ntt_sharded(h_der, field, mesh)
+    dx_t = jax.lax.with_sharding_constraint(
+        dx.reshape(r_dim, c_dim, 1),
+        NamedSharding(mesh, P(None, "coeff", None)))
+    h_der_t = gf.mul_prepared_device(field, h_coeffs_t, dx_t)
+    hp_eval = ntt_sharded(h_der_t, field, mesh, input_transposed=True)
     recovered = gf.mul_prepared_device(field, hp_eval, lp_inv_prep[:, None])
     out = jnp.where(maskb, recovered, cw)
     return jax.lax.with_sharding_constraint(out, spec_cw)

@@ -54,6 +54,23 @@ def _coset_twiddles(field_name: str, n: int, k: int):
     return np.asarray(prepare_consts(field, rows))
 
 
+@functools.lru_cache(maxsize=None)
+def _coset_twiddles_scaled(field_name: str, n: int, k: int):
+    """Prepared [c-1, k] table w_n^(r*m) * k^-1: the iNTT's scale folded
+    into the coset multiply, so a caller running the iNTT unscaled (the
+    sharded encode — its final collective is also elided) pays zero extra
+    elementwise passes. Same residues as scaling then multiplying."""
+    field = FIELDS[field_name]
+    c = n // k
+    w = field.root_of_order(n)
+    from .ntt import powers_outer_host
+    bases = powers_host(field, w, c)[1:]
+    rows = powers_outer_host(field, bases, k).astype(np.uint64)
+    p64 = np.uint64(field.p)
+    rows = rows * np.uint64(field.inv_host(k)) % p64
+    return np.asarray(prepare_consts(field, rows.astype(np.uint32)))
+
+
 def data_positions(n: int, k: int) -> np.ndarray:
     """Codeword indices holding the (unchanged) data blocks."""
     return np.arange(k) * (n // k)

@@ -1,0 +1,301 @@
+"""Out-of-core file-level codec: encode/recover/repair for files that
+exceed host RAM (or a configured residency bound).
+
+The in-core CLI path (cli.py) loads the whole file and round-trips it
+through the device in one call — the right shape when it fits. This
+module is the product path for when it does not ("millions of 4KB
+blocks", files larger than RAM/HBM): everything streams.
+
+Design (GF32; GF16 differs only in having no data-side escape bitmap):
+
+  * The file is viewed as k blocks of B bytes via ``np.memmap`` —
+    nothing is ever loaded whole.
+  * Encode streams over WORD-LANE CHUNKS: a chunk of ``cw`` u32 word
+    columns (cw % 16 == 0) of all k blocks is packed on device
+    (packing.pack_data of the byte columns yields exactly the chunk's
+    stored lanes + its own escape-bitmap lanes, because bitmap lanes
+    cover disjoint 16-word groups), encoded (rs.encode_parity), and the
+    parity chunk lands in a staging ``np.memmap`` [k, lanes] at the same
+    column positions — reproducing the non-streamed lane layout exactly.
+    A depth-2 pipeline keeps upload/compute/download overlapped.
+  * A final emission pass walks rows (sequential IO): data block files
+    come straight off the input memmap, parity block files off the
+    staging memmap (serialized per row), with per-block CRC32C tags.
+    The resulting directory is BIT-IDENTICAL to cli encode's in-core
+    output (test-enforced), so recover/check/repair interoperate freely.
+  * Recover streams survivors into a packed codeword staging memmap
+    (row batches, one batched pack per batch), runs decode.decode_stream
+    (lane chunks, device), then emits the recovered file row-sequentially.
+
+Peak host memory is O(k * chunk + row_batch * lanes), independent of the
+file size. Throughput is host-IO/link-bound by design; on-device compute
+overlaps (see rs.encode_parity_stream notes).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import numpy as np
+
+from . import packing
+from .fields import FieldSpec
+
+DEFAULT_MAX_RESIDENT_MB = 2048
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def _word_bytes(field: FieldSpec) -> int:
+    return 4 if field.use_mont else 2
+
+
+def _plan_word_chunk(field: FieldSpec, k: int, words: int,
+                     max_resident_bytes: int) -> int:
+    """Largest word-chunk (multiple of 16, dividing ``words``) whose
+    packed [k, chunk] pipeline slots fit the residency budget (~6 live
+    copies: input cols, packed chunk, parity chunk, x2 pipeline)."""
+    budget_words = max(max_resident_bytes // (6 * 4 * k), 16)
+    cw = 16
+    while cw * 2 <= budget_words and words % (cw * 2) == 0:
+        cw *= 2
+    return min(cw, words)
+
+
+def _iter_block_cols(mm: np.memmap, size: int, k: int, block_bytes: int,
+                     b0: int, b1: int) -> np.ndarray:
+    """Byte columns [b0, b1) of every block as a dense [k, b1-b0] array
+    (rows past the data tail are zero — the standard zero padding)."""
+    out = np.zeros((k, b1 - b0), dtype=np.uint8)
+    full = min(size // block_bytes, k)
+    if full:
+        view = mm[: full * block_bytes].reshape(full, block_bytes)
+        out[:full] = view[:, b0:b1]
+    if full < k and full * block_bytes < size:
+        tail = mm[full * block_bytes: size]
+        lo, hi = min(b0, tail.size), min(b1, tail.size)
+        out[full, : hi - lo] = tail[lo:hi]
+    return out
+
+
+def encode_file_stream(path, out_dir, field: FieldSpec,
+                       block_bytes: int = packing.BLOCK_BYTES,
+                       max_resident_bytes: int =
+                       DEFAULT_MAX_RESIDENT_MB << 20,
+                       chunk_words: int | None = None) -> dict:
+    """Streaming encode of ``path`` into ``out_dir`` (wire format v1,
+    bit-identical to the in-core cli encode). Returns the manifest."""
+    import jax.numpy as jnp
+
+    from . import host, rs
+
+    path, out_dir = pathlib.Path(path), pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    wb = _word_bytes(field)
+    words = packing._word_count(field, block_bytes)
+    size = path.stat().st_size
+    k = _next_pow2(max(1, -(-size // block_bytes)))
+    n = 2 * k
+    lanes = packing.field_lanes(field, block_bytes)
+    cw = chunk_words or _plan_word_chunk(field, k, words,
+                                         max_resident_bytes)
+    assert cw % 16 == 0 and words % cw == 0
+
+    mm = np.memmap(path, dtype=np.uint8, mode="r") if size else \
+        np.zeros(0, np.uint8)
+    stage_path = out_dir / ".parity.stage"
+    pstage = np.memmap(stage_path, dtype=np.uint32, mode="w+",
+                       shape=(k, lanes))
+
+    def dispatch(c0: int):
+        cols = _iter_block_cols(mm, size, k, block_bytes,
+                                c0 * wb, (c0 + cw) * wb)
+        chunk = packing.pack_data(jnp.asarray(cols), field)
+        return rs.encode_parity_jit(chunk, field, n)
+
+    bm_cw = cw // 16
+    pending = []
+
+    def drain(item):
+        c0, y = item
+        y = np.asarray(y)
+        pstage[:, c0:c0 + cw] = y[:, :cw]
+        if field.use_mont:
+            pstage[:, words + c0 // 16: words + c0 // 16 + bm_cw] = \
+                y[:, cw:]
+
+    for c0 in range(0, words, cw):
+        if len(pending) >= 2:
+            drain(pending.pop(0))
+        pending.append((c0, dispatch(c0)))
+    for item in pending:
+        drain(item)
+    pstage.flush()
+
+    # emission pass: block files + CRC tags, sequential row IO
+    dpos = rs.data_positions(n, k)
+    ppos = rs.parity_positions(n, k)
+    host.available() or host.build()
+    tags = {}
+    # data rows straight off the input memmap (zero-padded tail)
+    full = min(size // block_bytes, k)
+    for i in range(k):
+        if i < full:
+            blob = bytes(mm[i * block_bytes: (i + 1) * block_bytes])
+        else:
+            row = np.zeros(block_bytes, np.uint8)
+            if i * block_bytes < size:
+                t = mm[i * block_bytes: size]
+                row[: t.size] = t
+            blob = row.tobytes()
+        (out_dir / f"block_{int(dpos[i]):06d}.dat").write_bytes(blob)
+        tags[int(dpos[i])] = int(host.crc32c(blob))
+    for i in range(k):
+        prow = np.asarray(pstage[i: i + 1])
+        blob = np.asarray(packing.serialize_parity(
+            jnp.asarray(prow), field))[0].tobytes()
+        (out_dir / f"block_{int(ppos[i]):06d}.par").write_bytes(blob)
+        tags[int(ppos[i])] = int(host.crc32c(blob))
+    del pstage
+    stage_path.unlink()
+
+    manifest = {"file": path.name, "size": size, "k": k, "n": n,
+                "field": field.name, "format": "fastecc-tpu-v1",
+                "block_bytes": block_bytes,
+                "crc32c": {str(p): t for p, t in tags.items()} or None}
+    (out_dir / "manifest.json").write_text(json.dumps(manifest))
+    return manifest
+
+
+def _pack_rows_batched(items, field: FieldSpec, block_bytes: int,
+                       kind: str, batch: int = 256):
+    """Yield (positions, packed_rows) for {pos: path} items in batches —
+    one device pack/deserialize call per batch, not per block."""
+    import jax.numpy as jnp
+
+    from . import host
+
+    native = (host.available() and block_bytes == packing.BLOCK_BYTES)
+    poss = sorted(items)
+    for s in range(0, len(poss), batch):
+        grp = poss[s: s + batch]
+        raw = np.stack([np.frombuffer(items[p].read_bytes(), np.uint8)
+                        for p in grp])
+        if kind == "data":
+            packed = (host.pack_data(raw, field) if native else
+                      np.asarray(packing.pack_data(jnp.asarray(raw),
+                                                   field)))
+        else:
+            packed = (host.deserialize_parity(raw, field) if native else
+                      np.asarray(packing.deserialize_parity(
+                          jnp.asarray(raw), field)))
+        yield grp, packed
+
+
+def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
+                        DEFAULT_MAX_RESIDENT_MB << 20,
+                        chunk_lanes: int | None = None,
+                        repair: bool = False,
+                        progress=lambda s: None) -> int:
+    """Streaming recover (``repair=False``: rebuild the original file) or
+    repair (``repair=True``: rewrite every missing block file) from a
+    coded directory, never materializing the [n, lanes] codeword in RAM.
+    Returns the number of erased blocks that were reconstructed."""
+    import jax.numpy as jnp
+
+    from . import decode as dec
+    from . import host, rs
+
+    src_dir = pathlib.Path(src_dir)
+    man = json.loads((src_dir / "manifest.json").read_text())
+    from .fields import FIELDS
+    field = FIELDS[man["field"].upper()]
+    n, k, size = man["n"], man["k"], man["size"]
+    bb = man.get("block_bytes", packing.BLOCK_BYTES)
+    lanes = packing.field_lanes(field, bb)
+    words = packing._word_count(field, bb)
+    tags = man.get("crc32c") or {}
+    host.available() or host.build()
+
+    dpos = set(rs.data_positions(n, k).tolist())
+    d_items, p_items, present = {}, {}, np.zeros(n, bool)
+    for f in sorted(src_dir.glob("block_*.dat")) + \
+            sorted(src_dir.glob("block_*.par")):
+        try:
+            pos = int(f.stem.split("_")[1])
+        except (IndexError, ValueError):
+            continue
+        if not 0 <= pos < n:
+            continue
+        want = bb if pos in dpos else packing.parity_bytes(field, bb)
+        if f.stat().st_size != want:
+            continue
+        if tags and str(pos) in tags and \
+                host.crc32c(f.read_bytes()) != tags[str(pos)]:
+            continue
+        (d_items if pos in dpos else p_items)[pos] = f
+        present[pos] = True
+    n_present = int(present.sum())
+    assert n_present >= k, (
+        f"unrecoverable: {n_present} survivors < k={k}")
+    erased = np.nonzero(~present)[0]
+
+    stage_path = src_dir / ".codeword.stage"
+    cstage = np.memmap(stage_path, dtype=np.uint32, mode="w+",
+                       shape=(n, lanes))
+    for grp, packed in _pack_rows_batched(d_items, field, bb, "data"):
+        cstage[grp] = packed
+    for grp, packed in _pack_rows_batched(p_items, field, bb, "parity"):
+        cstage[grp] = packed
+    progress(f"staged {n_present}/{n} survivors; "
+             f"recovering {erased.size} blocks")
+
+    if erased.size:
+        cl = chunk_lanes or max(
+            128, min(lanes, _plan_word_chunk(
+                field, n, lanes, max_resident_bytes)))
+        while lanes % cl:
+            cl //= 2
+        dec.decode_stream(cstage, erased, field, chunk_lanes=cl,
+                          out=cstage)
+    cstage.flush()
+
+    wrote = int(erased.size)
+    if repair:
+        ppos_order = {int(p): i for i, p in
+                      enumerate(rs.parity_positions(n, k))}
+        for pos in erased:
+            row = jnp.asarray(np.asarray(cstage[pos: pos + 1]))
+            if int(pos) in dpos:
+                blob = np.asarray(packing.unpack_data(row, field))[0] \
+                    .tobytes()
+                path = src_dir / f"block_{int(pos):06d}.dat"
+            else:
+                blob = np.asarray(packing.serialize_parity(row, field))[0] \
+                    .tobytes()
+                path = src_dir / f"block_{int(pos):06d}.par"
+            if tags and str(int(pos)) in tags:
+                assert host.crc32c(blob) == tags[str(int(pos))], (
+                    f"repaired block {int(pos)} fails its manifest CRC")
+            path.write_bytes(blob)
+    else:
+        out_path = pathlib.Path(out_path)
+        drows = rs.data_positions(n, k)
+        with open(out_path, "wb") as fh:
+            remaining = size
+            batch = 256
+            for s in range(0, k, batch):
+                if remaining <= 0:
+                    break
+                rows = np.asarray(cstage[drows[s: s + batch]])
+                raw = np.asarray(packing.unpack_data(
+                    jnp.asarray(rows), field)).reshape(-1)
+                take = min(remaining, raw.size)
+                fh.write(raw[:take].tobytes())
+                remaining -= take
+    del cstage
+    stage_path.unlink()
+    return wrote

@@ -32,32 +32,51 @@ def scope(name: str):
     return jax.named_scope(name)
 
 
-def encode_roofline(n_blocks: int, lanes: int, hbm_gbps: float = 819.0,
-                    vpu_add_units_per_s: float = 1.08e12):
-    """Speed-of-light estimate for RS encode (n = 2k blocks, fused MFA path).
+# Measured on one TPU v5e chip via kernels/microbench.py (`cli gf-bench
+# --variant all`) — INDEPENDENT of any codec measurement, so the roofline
+# comparison below is not circular. Re-measure with measure_peaks() when
+# the hardware changes; docs/DESIGN.md records the measured table.
+MEASURED_PEAKS_V5E = {
+    "hbm_stream_gbps": 1044.0,     # Pallas copy, read+write counted
+    "solinas_gops": 85.8,          # Solinas-REDC mulmod, dependent chain
+    "generic_gops": 54.8,          # generic limb REDC
+    "addmod_gops": 338.9,          # carry-trick modular add
+    "gf16_gops": 199.8,            # Fermat-prime mulmod
+    "raw_mul_gops": 352.8,         # single u32 hardware multiply
+    "raw_add_gops": 586.4,         # single u32 add
+}
+
+
+def encode_roofline(n_blocks: int, lanes: int, peaks: dict | None = None):
+    """Speed-of-light estimate for RS encode (n = 2k blocks, fused MFA
+    path) from MEASURED peaks (kernels/microbench.py), not constants
+    calibrated to the codec itself.
 
     Memory model: 2 fused passes per transform x 2 transforms = 4 HBM
-    read+write passes over [k, lanes] u32.
-    Compute model (docs/DESIGN.md §4): a radix butterfly costs ~19-27 VPU
-    "add units" per element pair per stage (gf.add ~2.5, gf.sub ~2.5,
-    Solinas-REDC Montgomery mulmod ~17, plus shape-dependent relayout)
-    against a sustained ~1.08e12 add-units/s on one v5e core. The 19-unit
-    figure below is calibrated to the measured 2^20-block encode; treat
-    the estimate as accurate to ~±25% across shapes, not a hard bound.
+    read+write passes over [k, lanes] u32, at the measured stream rate.
+    Compute model: each radix-2 butterfly output pair costs one mulmod +
+    one addmod + one submod per element pair per stage; with the measured
+    dependent-chain rates m = solinas_gops and a = addmod_gops, the
+    butterfly costs (1/m + 2/a) seconds per element pair. Relayout/
+    interleave overhead between stages is NOT included — the gap between
+    this bound and the measurement is the honest inefficiency number.
 
     Returns a dict of bound estimates in seconds and the implied GB/s of
     codeword output.
     """
     import math
+    peaks = peaks or MEASURED_PEAKS_V5E
     k = n_blocks // 2
     elems = k * lanes
     word_bytes = 4
     # four fused passes read+write the [k, lanes] array
     hbm_bytes = 4 * 2 * elems * word_bytes
-    t_mem = hbm_bytes / (hbm_gbps * 1e9)
+    t_mem = hbm_bytes / (peaks["hbm_stream_gbps"] * 1e9)
     stages = 2 * math.log2(k)                  # iNTT + coset NTT
-    units = elems * stages * 0.5 * 19          # add-units per butterfly
-    t_compute = units / vpu_add_units_per_s
+    pairs = elems * stages * 0.5
+    per_pair = 1 / (peaks["solinas_gops"] * 1e9) \
+        + 2 / (peaks["addmod_gops"] * 1e9)
+    t_compute = pairs * per_pair
     t = max(t_mem, t_compute)
     out_bytes = n_blocks * lanes * word_bytes
     return {

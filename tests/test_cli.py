@@ -179,3 +179,45 @@ def test_file_encode_recover_gf16(tmp_path):
     dst = tmp_path / "restored.bin"
     assert cli.main(["recover", str(out), "-o", str(dst)]) == 0
     assert dst.read_bytes() == src.read_bytes()
+
+
+def test_check_reports_inconsistent_for_uncaught_corruption(tmp_path):
+    """Corruption that defeats CRC (tag rewritten to match) with all n
+    blocks present must yield status 'inconsistent' (an erasure-only
+    decoder cannot locate it), exit code 3 — not 'degraded/recoverable'."""
+    import json as js
+
+    from fastecc_tpu import cli, host
+    src = tmp_path / "input.bin"
+    src.write_bytes(bytes(range(256)) * 32)
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    victim = sorted(out.glob("block_*.par"))[0]
+    blob = bytearray(victim.read_bytes())
+    blob[12] ^= 0x55
+    victim.write_bytes(bytes(blob))
+    # forge the manifest tag so CRC passes and only the algebraic
+    # consistency check can notice
+    man = js.loads((out / "manifest.json").read_text())
+    pos = int(victim.stem.split("_")[1])
+    man["crc32c"][str(pos)] = int(host.crc32c(bytes(blob)))
+    (out / "manifest.json").write_text(js.dumps(man))
+    assert cli.main(["check", str(out)]) == 3
+
+
+def test_check_reports_crc_verified_without_native(tmp_path, monkeypatch):
+    """With the native library unavailable, CRC checking must still run
+    (numpy fallback) and catch corruption."""
+    from fastecc_tpu import cli, host
+    src = tmp_path / "input.bin"
+    src.write_bytes(bytes(range(256)) * 16)
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    monkeypatch.setattr(host, "_lib", None)
+    monkeypatch.setattr(host, "_load", lambda: False)
+    monkeypatch.setattr(host, "build", lambda quiet=True: False)
+    victim = sorted(out.glob("block_*.par"))[0]
+    blob = bytearray(victim.read_bytes())
+    blob[7] ^= 0xFF
+    victim.write_bytes(bytes(blob))
+    assert cli.main(["check", str(out)]) == 1   # caught by numpy CRC

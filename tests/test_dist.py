@@ -126,4 +126,64 @@ def test_decode_sharded_lowering_has_collectives():
     ).lower(cw, jnp.asarray(mask),
             jnp.asarray(np.asarray(prepare_consts(GF32, l_eval))),
             jnp.asarray(np.asarray(prepare_consts(GF32, lp_inv)))).as_text()
-    assert txt.count("all_to_all") >= 6, "two sharded NTTs => >= 6 all_to_alls"
+    # two sharded NTTs, fused at the seam: 2 collectives each, not 3
+    assert txt.count("all_to_all") == 4, (
+        f"fused decode seam => exactly 4 all_to_alls, "
+        f"got {txt.count('all_to_all')}")
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("d,b", [(2, 1), (4, 2), (1, 8)])
+def test_transposed_handoff_matches_plain(field, d, b):
+    """output_transposed -> elementwise -> input_transposed must equal the
+    plain natural-layout chain (the a2a-fusion seam, values identical)."""
+    from fastecc_tpu.ntt import prepare_consts
+
+    mesh = make_mesh(d, b)
+    n, lanes = 1 << 8, 8
+    x = jnp.asarray(rand_field(field, (n, lanes)))
+    v = rand_field(field, (n,))
+    vp = jnp.asarray(prepare_consts(field, v))
+
+    def chained(xx):
+        t = ntt_sharded(xx, field, mesh, inverse=True,
+                        output_transposed=True)
+        r_dim, c_dim = t.shape[0], t.shape[1]
+        from fastecc_tpu.ntt import mul_prepared
+        t = mul_prepared(field, t, vp.reshape(r_dim, c_dim, 1))
+        return ntt_sharded(t, field, mesh, input_transposed=True)
+
+    got = np.asarray(jax.jit(chained)(x))
+    from fastecc_tpu.ntt import mul_prepared
+    want = np.asarray(ntt(mul_prepared(
+        field, intt(x, field), vp[:, None]), field))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_encode_sharded_a2a_count():
+    """The fused encode must lower to 4 all_to_alls (2 per transform),
+    strictly fewer than the naive 3-per-transform formulation's 6."""
+    from fastecc_tpu.parallel.ntt_dist import encode_parity_sharded
+
+    mesh = make_mesh(4, 2)
+    x = jnp.asarray(rand_field(GF32, (1 << 8, 8)))
+    txt = jax.jit(lambda v: encode_parity_sharded(v, GF32, mesh)).lower(
+        x).as_text()
+    assert txt.count("all_to_all") == 4, (
+        f"expected exactly 4 all_to_alls, got {txt.count('all_to_all')}")
+
+
+def test_decode_sharded_a2a_count():
+    """Fused decode seam: 4 all_to_alls for the two transforms."""
+    from fastecc_tpu.decode import prepare_decode_tables
+    from fastecc_tpu.parallel.ntt_dist import decode_prepared_sharded
+
+    mesh = make_mesh(4, 2)
+    n = 1 << 8
+    cw = jnp.asarray(rand_field(GF32, (n, 8)))
+    erased = np.sort(RNG.choice(n, size=16, replace=False))
+    targs = prepare_decode_tables(erased, n, GF32)
+    txt = jax.jit(lambda c: decode_prepared_sharded(
+        c, *targs, GF32, mesh)).lower(cw).as_text()
+    assert txt.count("all_to_all") == 4, (
+        f"expected exactly 4 all_to_alls, got {txt.count('all_to_all')}")

@@ -116,3 +116,16 @@ def test_native_ntt_multithreaded_chunking():
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=300)
     assert out.returncode == 0 and "OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_crc32c_numpy_fallback_matches_native():
+    """The pure-numpy CRC32C must be bit-identical to the native one (it
+    is the integrity path when the toolchain is absent)."""
+    assert host.crc32c_np(b"123456789") == 0xE3069283
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(0, 256, (5, 4096), dtype=np.uint16).astype(
+        np.uint8)
+    np.testing.assert_array_equal(host.crc32c_blocks_np(blocks),
+                                  host.crc32c_blocks(blocks))
+    for row in blocks:
+        assert host.crc32c_np(row.tobytes()) == host.crc32c(row.tobytes())
