@@ -544,7 +544,8 @@ def main(argv=None):
     p.add_argument("--lg-size", type=int, default=24)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--variant", default="jnp",
-                   choices=["jnp", "solinas", "generic", "gf16", "addmod",
+                   choices=["jnp", "solinas", "solinas-masksel", "generic",
+                            "gf16", "addmod", "addmod-masksel",
                             "raw-mul", "raw-add", "stream", "all"],
                    help="Pallas in-VMEM A/B (reference ntt-binary mulmod "
                         "variant compare); 'all' emits the measured "

@@ -38,13 +38,10 @@ def _copy_kernel(x_ref, out_ref):
     out_ref[:] = x_ref[:]
 
 
-def hbm_stream_gbps(mib: int = 1024, iters: int = 3) -> float:
-    """HBM copy bandwidth in GB/s counting read+write bytes."""
+def _copy_time(rows: int, iters: int) -> float:
     from ..utils.timer import time_fn
 
-    rows = mib * 1024 * 1024 // (4 * _TL)
     x = jnp.arange(rows * _TL, dtype=jnp.uint32).reshape(rows, _TL)
-
     fn = jax.jit(lambda v: pl.pallas_call(
         _copy_kernel,
         grid=(rows // _TS,),
@@ -54,42 +51,84 @@ def hbm_stream_gbps(mib: int = 1024, iters: int = 3) -> float:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, _TL), jnp.uint32),
     )(v))
-    secs = time_fn(fn, x, iters=iters)
-    return 2 * rows * _TL * 4 / secs / 1e9
+    return time_fn(fn, x, iters=iters)
 
 
-# one dependent elementwise step per variant; each keeps its operand in
-# the closed range required by the next application
-_C_MUL = np.uint32(0x9E3779B9)     # odd constant, raw u32 multiply
+def hbm_stream_gbps(mib: int = 1024, iters: int = 3) -> float:
+    """HBM copy bandwidth in GB/s counting read+write bytes, with the
+    fixed per-call dispatch cost cancelled by differencing a full-size
+    and a quarter-size copy (the tunnel's ~40 ms per call would
+    otherwise dominate and report ~40 GB/s for any array)."""
+    rows = mib * 1024 * 1024 // (4 * _TL)
+    t_small = _copy_time(rows // 4, iters)
+    t_big = _copy_time(rows, iters)
+    marginal = max(t_big - t_small, 1e-9)
+    return 2 * (rows - rows // 4) * _TL * 4 / marginal / 1e9
+
+
+# One dependent elementwise step per variant. The second operand z is a
+# per-element TRACED value (loaded from a ref), never a constant — a
+# constant multiplier lets the compiler strength-reduce or fold the whole
+# chain and the "measurement" becomes fiction (observed: a constant
+# raw-mul chain folded to a single multiply). Each step keeps y in the
+# closed range the next application needs.
+def _addmod_masksel(y, z):
+    """Experimental: carry-trick addmod with the final select computed as
+    mask arithmetic (s - (pp & -(s >= t))) instead of jnp.where — A/B for
+    whether Mosaic's select costs more than compare+and+sub."""
+    pp = np.uint32((1 << 32) - 0xFFF00001)
+    t = z + pp
+    s = y + t
+    nw = (s >= t).astype(jnp.uint32)           # 1 when NOT wrapped
+    return s - (pp & (jnp.uint32(0) - nw))
+
+
+def _mont_mul_masksel(y, z):
+    """Experimental Solinas mont_mul with every select as mask arithmetic."""
+    p = np.uint32(0xFFF00001)
+    pp = np.uint32((1 << 32) - 0xFFF00001)
+    hi, lo = gf._mul_wide(y, z)
+    m = jnp.uint32(0) - (lo + (lo << jnp.uint32(20)))
+    s20 = (m & jnp.uint32(0xFFF)) << jnp.uint32(20)
+    mp_hi = m - (m >> jnp.uint32(12)) - (m < s20).astype(jnp.uint32)
+    carry = (lo != 0).astype(jnp.uint32)
+    t2 = hi + carry + pp
+    s = mp_hi + t2
+    nw = (s >= t2).astype(jnp.uint32)
+    return s - (pp & (jnp.uint32(0) - nw))
+
+
 _VARIANTS = {
-    "raw-mul": lambda y: y * _C_MUL,
-    "raw-add": lambda y: y + _C_MUL,
-    "addmod": lambda y: gf.add(GF32, y, np.uint32(12345)),
-    "solinas": lambda y: gf.mont_mul(GF32, y, np.uint32(0x12345677)),
-    "generic": lambda y: gf.mont_mul(GF32, y, np.uint32(0x12345677),
-                                     generic=True),
-    "gf16": lambda y: gf._mul_gf16(y, np.uint32(0x9999)),
+    "raw-mul": lambda y, z: y * z,
+    "raw-add": lambda y, z: y + z,
+    "addmod": lambda y, z: gf.add(GF32, y, z),
+    "addmod-masksel": _addmod_masksel,
+    "solinas": lambda y, z: gf.mont_mul(GF32, y, z),
+    "solinas-masksel": _mont_mul_masksel,
+    "generic": lambda y, z: gf.mont_mul(GF32, y, z, generic=True),
+    "gf16": lambda y, z: gf._mul_gf16(y, z),
 }
 
 
-def _chain_kernel(x_ref, out_ref, *, variant: str, depth: int):
+def _chain_kernel(x_ref, z_ref, out_ref, *, variant: str, depth: int):
     y = x_ref[:]
+    z = z_ref[:]
     step = _VARIANTS[variant]
     for _ in range(depth):
-        y = step(y)
+        y = step(y, z)
     out_ref[:] = y
 
 
 def _chain_fn(rows: int, variant: str, depth: int):
-    return jax.jit(lambda v: pl.pallas_call(
+    spec = pl.BlockSpec((_TS, _TL), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return jax.jit(lambda v, z: pl.pallas_call(
         functools.partial(_chain_kernel, variant=variant, depth=depth),
         grid=(rows // _TS,),
-        in_specs=[pl.BlockSpec((_TS, _TL), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_TS, _TL), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[spec, spec],
+        out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((rows, _TL), jnp.uint32),
-    )(v))
+    )(v, z))
 
 
 def vpu_chain_gops(variant: str, mib: int = 64, depth: int = 128,
@@ -101,12 +140,14 @@ def vpu_chain_gops(variant: str, mib: int = 64, depth: int = 128,
 
     assert variant in _VARIANTS, f"unknown variant {variant!r}"
     rows = mib * 1024 * 1024 // (4 * _TL)
-    # keep values < p for the mod variants (also fine for raw ops)
+    # keep values < p (GF32) / <= 0x10000 (GF16); fine for raw ops too
     x = (jnp.arange(rows * _TL, dtype=jnp.uint32) & jnp.uint32(0xFFFF)
          ).reshape(rows, _TL)
-    t1 = time_fn(_chain_fn(rows, variant, depth), x, iters=iters)
-    t2 = time_fn(_chain_fn(rows, variant, 2 * depth), x, iters=iters)
-    marginal = max(t2 - t1, 1e-12)
+    z = ((jnp.arange(rows * _TL, dtype=jnp.uint32) * jnp.uint32(2654435761)
+          ) & jnp.uint32(0xFFFF)).reshape(rows, _TL) | jnp.uint32(1)
+    t1 = time_fn(_chain_fn(rows, variant, depth), x, z, iters=iters)
+    t2 = time_fn(_chain_fn(rows, variant, 2 * depth), x, z, iters=iters)
+    marginal = max(t2 - t1, 1e-9)
     return rows * _TL * depth / marginal / 1e9
 
 

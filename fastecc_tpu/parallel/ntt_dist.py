@@ -178,6 +178,80 @@ ntt_sharded_jit = jax.jit(
                                   "output_transposed"))
 
 
+def ntt_sharded_overlap(x, field: FieldSpec, mesh: Mesh,
+                        inverse: bool = False, c_dim: int | None = None,
+                        scale: bool = True, chunks: int = 2):
+    """Collective/compute-overlap variant of :func:`ntt_sharded`
+    (software-pipelined double buffering).
+
+    The lane axis is split into ``chunks`` independent slices inside the
+    shard_map body, and each phase issues chunk i+1's all_to_all BEFORE
+    computing chunk i — the collective and the local NTT have no data
+    dependence, so the XLA scheduler is free to run the ICI transfer
+    under the VPU work (the classic overlap structure; on one chip this
+    is unobservable, on a pod it hides up to the full transpose cost).
+    Bit-exact equal to ntt_sharded (test-enforced on the virtual mesh).
+    """
+    n, lanes = x.shape
+    d = mesh.shape["coeff"]
+    if d == 1 or chunks <= 1:
+        return ntt_sharded(x, field, mesh, inverse=inverse, c_dim=c_dim,
+                           scale=scale)
+    c_dim, r_dim = _split_dims(n, d, c_dim)
+    b = mesh.shape.get("block", 1)
+    assert lanes % (b * chunks) == 0, (
+        f"lanes {lanes} must split into {chunks} chunks per block shard")
+    tw = jnp.asarray(_four_step_twiddles(field.name, n, c_dim, inverse))
+    use_pallas = mesh.devices.flat[0].platform == "tpu"
+
+    def a2a_in(c):
+        return jax.lax.all_to_all(c, "coeff", split_axis=1, concat_axis=0,
+                                  tiled=True)
+
+    def a2a_mid(c):
+        return jax.lax.all_to_all(c, "coeff", split_axis=0, concat_axis=1,
+                                  tiled=True)
+
+    def body(xl, twl):
+        cs = jnp.split(xl, chunks, axis=2)
+        # phase 1: prefetch chunk i+1's transpose while transforming i
+        nxt = a2a_in(cs[0])
+        mids = []
+        for i in range(chunks):
+            cur, nxt = nxt, (a2a_in(cs[i + 1]) if i + 1 < chunks else None)
+            y = _local_ntt(cur, field, inverse, use_pallas)
+            mids.append(mul_prepared(field, y, twl[:, :, None]))
+        # phase 2: same structure for the second transpose + row NTTs
+        nxt = a2a_mid(mids[0])
+        outs = []
+        for i in range(chunks):
+            cur, nxt = nxt, (a2a_mid(mids[i + 1]) if i + 1 < chunks
+                             else None)
+            y = _local_ntt(jnp.moveaxis(cur, 1, 0), field, inverse,
+                           use_pallas)
+            y = jax.lax.all_to_all(y, "coeff", split_axis=0,
+                                   concat_axis=1, tiled=True)
+            outs.append(y.reshape((r_dim // d) * c_dim, -1))
+        out = jnp.concatenate(outs, axis=1)
+        if inverse and scale:
+            out = gf.mul_const(field, out, field.inv_host(n))
+        return out
+
+    shmap = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("coeff", None, "block"), P(None, "coeff")),
+        out_specs=P("coeff", "block"), check_vma=False)
+    xr = jax.lax.with_sharding_constraint(
+        x.reshape(c_dim, r_dim, lanes),
+        NamedSharding(mesh, P("coeff", None, "block")))
+    return shmap(xr, tw).reshape(n, lanes)
+
+
+ntt_sharded_overlap_jit = jax.jit(
+    ntt_sharded_overlap, static_argnames=("field", "mesh", "inverse",
+                                          "c_dim", "scale", "chunks"))
+
+
 def encode_parity_sharded(data, field: FieldSpec, mesh: Mesh,
                           n: int | None = None):
     """Distributed RS parity: iNTT_k -> coset twiddle -> NTT_k, all

@@ -37,13 +37,16 @@ def scope(name: str):
 # comparison below is not circular. Re-measure with measure_peaks() when
 # the hardware changes; docs/DESIGN.md records the measured table.
 MEASURED_PEAKS_V5E = {
-    "hbm_stream_gbps": 1044.0,     # Pallas copy, read+write counted
-    "solinas_gops": 85.8,          # Solinas-REDC mulmod, dependent chain
-    "generic_gops": 54.8,          # generic limb REDC
-    "addmod_gops": 338.9,          # carry-trick modular add
-    "gf16_gops": 199.8,            # Fermat-prime mulmod
-    "raw_mul_gops": 352.8,         # single u32 hardware multiply
-    "raw_add_gops": 586.4,         # single u32 add
+    "hbm_stream_gbps": 577.2,      # Pallas copy, read+write counted
+    "solinas_gops": 68.1,          # Solinas-REDC mulmod, traced operands
+    "generic_gops": 70.3,          # generic limb REDC (— a WASH vs
+                                   # Solinas on v5e: u32 mul is full-rate,
+                                   # so the multiplier-free REDC's fewer
+                                   # hardware multiplies buy nothing)
+    "addmod_gops": 399.7,          # carry-trick modular add
+    "gf16_gops": 137.3,            # Fermat-prime mulmod
+    "raw_mul_gops": 3133.8,        # single u32 hardware multiply
+    "raw_add_gops": 5244.3,        # single u32 add
 }
 
 

@@ -187,3 +187,22 @@ def test_decode_sharded_a2a_count():
         c, *targs, GF32, mesh)).lower(cw).as_text()
     assert txt.count("all_to_all") == 4, (
         f"expected exactly 4 all_to_alls, got {txt.count('all_to_all')}")
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("inverse", [False, True])
+def test_overlap_pipeline_matches_plain(field, inverse):
+    """The double-buffered (collective/compute overlap) four-step must be
+    bit-exact vs the plain sharded and single-chip transforms."""
+    from fastecc_tpu.parallel.ntt_dist import ntt_sharded_overlap_jit
+
+    mesh = make_mesh(4, 2)
+    n, lanes = 1 << 8, 16
+    x = jnp.asarray(rand_field(field, (n, lanes)))
+    want = np.asarray(ntt(x, field, inverse=inverse))
+    got = np.asarray(ntt_sharded_overlap_jit(x, field, mesh,
+                                             inverse=inverse, chunks=2))
+    np.testing.assert_array_equal(got, want)
+    got4 = np.asarray(ntt_sharded_overlap_jit(x, field, mesh,
+                                              inverse=inverse, chunks=4))
+    np.testing.assert_array_equal(got4, want)

@@ -141,3 +141,30 @@ def test_generic_redc_branch_non_solinas_prime():
     assert (gm.astype(object) == (a.astype(object) * b) % p).all()
     ga = np.asarray(gf.add(field, jnp.asarray(a), jnp.asarray(b)))
     assert (ga.astype(object) == (a.astype(object) + b) % p).all()
+
+
+def test_masksel_experimental_variants_match_reference():
+    """The mask-arithmetic select experiments in kernels/microbench.py
+    must be bit-identical to gf.add / gf.mont_mul (they are candidate
+    replacements; equality is the precondition for ever swapping)."""
+    import jax.numpy as jnp
+
+    from fastecc_tpu import gf
+    from fastecc_tpu.fields import GF32
+    from fastecc_tpu.kernels.microbench import (_addmod_masksel,
+                                                _mont_mul_masksel)
+    rng = np.random.default_rng(0xA5)
+    a = jnp.asarray(rng.integers(0, GF32.p, 4096, np.uint64).astype(
+        np.uint32))
+    b = jnp.asarray(rng.integers(0, GF32.p, 4096, np.uint64).astype(
+        np.uint32))
+    np.testing.assert_array_equal(np.asarray(_addmod_masksel(a, b)),
+                                  np.asarray(gf.add(GF32, a, b)))
+    np.testing.assert_array_equal(np.asarray(_mont_mul_masksel(a, b)),
+                                  np.asarray(gf.mont_mul(GF32, a, b)))
+    # edge values
+    edges = jnp.asarray(np.array([0, 1, GF32.p - 1, 0xFFF, 0x1000,
+                                  1 << 20, GF32.p - 2, 2], np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(_mont_mul_masksel(edges, edges[::-1])),
+        np.asarray(gf.mont_mul(GF32, edges, edges[::-1])))

@@ -133,18 +133,21 @@ def test_microbench_chain_kernels_interpret():
     rows = mb._TS
     x = (jnp.arange(rows * mb._TL, dtype=jnp.uint32)
          & jnp.uint32(0xFFFF)).reshape(rows, mb._TL)
+    z = ((jnp.arange(rows * mb._TL, dtype=jnp.uint32)
+          * jnp.uint32(2654435761)) & jnp.uint32(0xFFFF)
+         ).reshape(rows, mb._TL) | jnp.uint32(1)
+    spec = pl.BlockSpec((mb._TS, mb._TL), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
     for variant, step in mb._VARIANTS.items():
         out = pl.pallas_call(
             functools.partial(mb._chain_kernel, variant=variant, depth=3),
             grid=(1,),
-            in_specs=[pl.BlockSpec((mb._TS, mb._TL), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((mb._TS, mb._TL), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
+            in_specs=[spec, spec],
+            out_specs=spec,
             out_shape=jax.ShapeDtypeStruct((rows, mb._TL), jnp.uint32),
-            interpret=True)(x)
+            interpret=True)(x, z)
         y = x
         for _ in range(3):
-            y = step(y)
+            y = step(y, z)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(y),
                                       err_msg=variant)
