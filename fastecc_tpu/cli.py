@@ -496,7 +496,9 @@ def cmd_scaling(args):
     import jax.numpy as jnp
     from . import rs
     from .parallel import make_mesh
-    from .parallel.ntt_dist import encode_parity_sharded_jit
+    from .parallel.ntt_dist import (encode_parity_sharded_jit,
+                                    ntt_sharded_jit,
+                                    ntt_sharded_overlap_jit)
     from .utils.timer import time_fn
     field = _field(args.field)
     k = 1 << args.lg_k
@@ -507,7 +509,13 @@ def cmd_scaling(args):
         mesh = make_mesh(d, 1, devices=devices[:d])
         lanes = args.lanes * d                     # weak scaling: grow work
         x = jnp.asarray(_rand(field, (k, lanes)))
-        fn = lambda v: encode_parity_sharded_jit(v, field, mesh, 2 * k)
+        fn = {
+            "encode": lambda v: encode_parity_sharded_jit(
+                v, field, mesh, 2 * k),
+            "ntt": lambda v: ntt_sharded_jit(v, field, mesh),
+            "ntt-overlap": lambda v: ntt_sharded_overlap_jit(
+                v, field, mesh, chunks=min(args.overlap_chunks, lanes)),
+        }[args.op]
         secs = time_fn(fn, x, iters=args.iters)
         gbps = 2 * k * lanes * 4 / secs / 1e9
         eff = 1.0 if base is None else gbps / (base * d)
@@ -617,6 +625,11 @@ def main(argv=None):
     p.add_argument("--lg-k", type=int, default=10)
     p.add_argument("--lanes", type=int, default=8)
     p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--op", default="encode",
+                   choices=["encode", "ntt", "ntt-overlap"],
+                   help="pipeline under test (ntt-overlap = the "
+                        "double-buffered collective/compute variant)")
+    p.add_argument("--overlap-chunks", type=int, default=2)
     p.set_defaults(fn=cmd_scaling)
 
     args = ap.parse_args(argv)

@@ -53,6 +53,29 @@ _WORKER = textwrap.dedent("""
     pw = np.asarray(rs.encode_parity_jit(jnp.asarray(x[:k]), GF32, n))
     assert all((np.asarray(s.data) == pw[s.index]).all()
                for s in par.addressable_shards), "encode shard mismatch"
+
+    # decode leg: garble n-k rows, recover across BOTH processes
+    # (the fused 4-collective two-transform pipeline over Gloo)
+    from fastecc_tpu.decode import prepare_decode_tables
+    from fastecc_tpu.parallel.ntt_dist import decode_prepared_sharded_jit
+    cw = np.asarray(rs.encode_jit(jnp.asarray(x[:k]), GF32, n))
+    e = n - k
+    erased = np.sort(rng.choice(n, size=e, replace=False))
+    garbled = cw.copy()
+    garbled[erased] = rng.integers(0, GF32.p, (e, lanes),
+                                   dtype=np.uint64).astype(np.uint32)
+    mask, lp, ip = (np.asarray(t) for t in
+                    prepare_decode_tables(erased, n, GF32,
+                                          locator="host"))
+    vsh = NamedSharding(mesh, P("coeff"))
+    def gv(a, spec):
+        return jax.make_array_from_callback(a.shape, spec,
+                                            lambda i: a[i])
+    out = decode_prepared_sharded_jit(
+        gv(garbled, sh), gv(mask, vsh), gv(lp, vsh), gv(ip, vsh),
+        GF32, mesh)
+    assert all((np.asarray(s.data) == cw[s.index]).all()
+               for s in out.addressable_shards), "decode shard mismatch"
     print(f"proc {proc_id}: OK")
 """)
 
