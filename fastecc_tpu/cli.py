@@ -517,7 +517,10 @@ def cmd_scaling(args):
                 v, field, mesh, chunks=min(args.overlap_chunks, lanes)),
         }[args.op]
         secs = time_fn(fn, x, iters=args.iters)
-        gbps = 2 * k * lanes * 4 / secs / 1e9
+        # encode emits an n=2k codeword from [k, lanes]; the NTT ops
+        # transform [k, lanes] in place — count what each op processes
+        factor = 2 if args.op == "encode" else 1
+        gbps = factor * k * lanes * 4 / secs / 1e9
         eff = 1.0 if base is None else gbps / (base * d)
         base = base or gbps
         rows.append({"devices": d, "lanes": lanes,

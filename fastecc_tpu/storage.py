@@ -55,13 +55,24 @@ def _word_bytes(field: FieldSpec) -> int:
 
 def _plan_word_chunk(field: FieldSpec, k: int, words: int,
                      max_resident_bytes: int) -> int:
-    """Largest word-chunk (multiple of 16, dividing ``words``) whose
-    packed [k, chunk] pipeline slots fit the residency budget (~6 live
-    copies: input cols, packed chunk, parity chunk, x2 pipeline)."""
-    budget_words = max(max_resident_bytes // (6 * 4 * k), 16)
-    cw = 16
+    """Largest word-chunk dividing ``words`` whose packed [k, chunk]
+    pipeline slots fit the residency budget (~6 live copies: input cols,
+    packed chunk, parity chunk, x2 pipeline).
+
+    GF32 chunks must align to 16-word escape-bitmap groups; when the
+    block's word count itself is not a multiple of 16 no aligned split
+    exists, so the whole word axis goes as one chunk (the in-core shape —
+    correctness over the residency preference for such block sizes)."""
+    step = 16 if field.use_mont else 1
+    if words % step:
+        return words
+    budget_words = max(max_resident_bytes // (6 * 4 * k), step)
+    cw = step
     while cw * 2 <= budget_words and words % (cw * 2) == 0:
         cw *= 2
+    for f in (3, 5, 7):        # words with odd factors, e.g. 24*k blocks
+        while cw * f <= budget_words and words % (cw * f) == 0:
+            cw *= f
     return min(cw, words)
 
 
@@ -102,7 +113,10 @@ def encode_file_stream(path, out_dir, field: FieldSpec,
     lanes = packing.field_lanes(field, block_bytes)
     cw = chunk_words or _plan_word_chunk(field, k, words,
                                          max_resident_bytes)
-    assert cw % 16 == 0 and words % cw == 0
+    assert words % cw == 0 and (
+        not field.use_mont or cw % 16 == 0 or cw == words), (
+        f"word chunk {cw} must divide words={words} and align to 16-word "
+        f"bitmap groups (or cover the whole axis)")
 
     mm = np.memmap(path, dtype=np.uint8, mode="r") if size else \
         np.zeros(0, np.uint8)
@@ -116,7 +130,6 @@ def encode_file_stream(path, out_dir, field: FieldSpec,
         chunk = packing.pack_data(jnp.asarray(cols), field)
         return rs.encode_parity_jit(chunk, field, n)
 
-    bm_cw = cw // 16
     pending = []
 
     def drain(item):
@@ -124,8 +137,9 @@ def encode_file_stream(path, out_dir, field: FieldSpec,
         y = np.asarray(y)
         pstage[:, c0:c0 + cw] = y[:, :cw]
         if field.use_mont:
-            pstage[:, words + c0 // 16: words + c0 // 16 + bm_cw] = \
-                y[:, cw:]
+            nb = y.shape[1] - cw       # ceil(cw/16) bitmap lanes
+            b0 = words + c0 // 16
+            pstage[:, b0:b0 + nb] = y[:, cw:]
 
     for c0 in range(0, words, cw):
         if len(pending) >= 2:
@@ -135,30 +149,37 @@ def encode_file_stream(path, out_dir, field: FieldSpec,
         drain(item)
     pstage.flush()
 
-    # emission pass: block files + CRC tags, sequential row IO
+    # emission pass: block files + CRC tags, sequential row IO in
+    # 256-row batches (one batched CRC call and one batched parity
+    # serialization per batch — k individual calls would dominate at
+    # "millions of blocks" scale)
     dpos = rs.data_positions(n, k)
     ppos = rs.parity_positions(n, k)
     host.available() or host.build()
     tags = {}
-    # data rows straight off the input memmap (zero-padded tail)
-    full = min(size // block_bytes, k)
-    for i in range(k):
-        if i < full:
-            blob = bytes(mm[i * block_bytes: (i + 1) * block_bytes])
-        else:
-            row = np.zeros(block_bytes, np.uint8)
-            if i * block_bytes < size:
-                t = mm[i * block_bytes: size]
-                row[: t.size] = t
-            blob = row.tobytes()
-        (out_dir / f"block_{int(dpos[i]):06d}.dat").write_bytes(blob)
-        tags[int(dpos[i])] = int(host.crc32c(blob))
-    for i in range(k):
-        prow = np.asarray(pstage[i: i + 1])
-        blob = np.asarray(packing.serialize_parity(
-            jnp.asarray(prow), field))[0].tobytes()
-        (out_dir / f"block_{int(ppos[i]):06d}.par").write_bytes(blob)
-        tags[int(ppos[i])] = int(host.crc32c(blob))
+    batch = 256
+    for s0 in range(0, k, batch):
+        s1 = min(s0 + batch, k)
+        rows = np.zeros((s1 - s0, block_bytes), np.uint8)
+        lo, hi = s0 * block_bytes, min(s1 * block_bytes, size)
+        if hi > lo:
+            rows.reshape(-1)[: hi - lo] = mm[lo:hi]
+        crcs = host.crc32c_blocks(rows)
+        for j in range(s1 - s0):
+            pos = int(dpos[s0 + j])
+            (out_dir / f"block_{pos:06d}.dat").write_bytes(
+                rows[j].tobytes())
+            tags[pos] = int(crcs[j])
+    for s0 in range(0, k, batch):
+        s1 = min(s0 + batch, k)
+        blobs = np.asarray(packing.serialize_parity(
+            jnp.asarray(np.asarray(pstage[s0:s1])), field))
+        crcs = host.crc32c_blocks(blobs)
+        for j in range(s1 - s0):
+            pos = int(ppos[s0 + j])
+            (out_dir / f"block_{pos:06d}.par").write_bytes(
+                blobs[j].tobytes())
+            tags[pos] = int(crcs[j])
     del pstage
     stage_path.unlink()
 
@@ -171,9 +192,11 @@ def encode_file_stream(path, out_dir, field: FieldSpec,
 
 
 def _pack_rows_batched(items, field: FieldSpec, block_bytes: int,
-                       kind: str, batch: int = 256):
-    """Yield (positions, packed_rows) for {pos: path} items in batches —
-    one device pack/deserialize call per batch, not per block."""
+                       kind: str, tags=None, batch: int = 256):
+    """Yield (positions, packed_rows, ok_mask) for {pos: path} items in
+    batches — one file read, one batched CRC check, and one batched
+    pack/deserialize call per batch, not per block (the CRC rides the
+    same read so survivor files are never read twice)."""
     import jax.numpy as jnp
 
     from . import host
@@ -184,6 +207,12 @@ def _pack_rows_batched(items, field: FieldSpec, block_bytes: int,
         grp = poss[s: s + batch]
         raw = np.stack([np.frombuffer(items[p].read_bytes(), np.uint8)
                         for p in grp])
+        if tags:
+            crcs = host.crc32c_blocks(raw)
+            ok = np.array([str(p) not in tags or int(c) == tags[str(p)]
+                           for p, c in zip(grp, crcs)])
+        else:
+            ok = np.ones(len(grp), dtype=bool)
         if kind == "data":
             packed = (host.pack_data(raw, field) if native else
                       np.asarray(packing.pack_data(jnp.asarray(raw),
@@ -192,7 +221,7 @@ def _pack_rows_batched(items, field: FieldSpec, block_bytes: int,
             packed = (host.deserialize_parity(raw, field) if native else
                       np.asarray(packing.deserialize_parity(
                           jnp.asarray(raw), field)))
-        yield grp, packed
+        yield grp, packed, ok
 
 
 def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
@@ -220,8 +249,10 @@ def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
     tags = man.get("crc32c") or {}
     host.available() or host.build()
 
+    # candidate scan by stat only; CRC verification happens inside the
+    # batched staging pass below so every survivor file is read ONCE
     dpos = set(rs.data_positions(n, k).tolist())
-    d_items, p_items, present = {}, {}, np.zeros(n, bool)
+    d_items, p_items = {}, {}
     for f in sorted(src_dir.glob("block_*.dat")) + \
             sorted(src_dir.glob("block_*.par")):
         try:
@@ -233,23 +264,22 @@ def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
         want = bb if pos in dpos else packing.parity_bytes(field, bb)
         if f.stat().st_size != want:
             continue
-        if tags and str(pos) in tags and \
-                host.crc32c(f.read_bytes()) != tags[str(pos)]:
-            continue
         (d_items if pos in dpos else p_items)[pos] = f
-        present[pos] = True
-    n_present = int(present.sum())
-    assert n_present >= k, (
-        f"unrecoverable: {n_present} survivors < k={k}")
-    erased = np.nonzero(~present)[0]
 
     stage_path = src_dir / ".codeword.stage"
     cstage = np.memmap(stage_path, dtype=np.uint32, mode="w+",
                        shape=(n, lanes))
-    for grp, packed in _pack_rows_batched(d_items, field, bb, "data"):
-        cstage[grp] = packed
-    for grp, packed in _pack_rows_batched(p_items, field, bb, "parity"):
-        cstage[grp] = packed
+    present = np.zeros(n, bool)
+    for items, kind in ((d_items, "data"), (p_items, "parity")):
+        for grp, packed, ok in _pack_rows_batched(items, field, bb, kind,
+                                                  tags=tags):
+            idx = np.asarray(grp)[ok]
+            cstage[idx] = packed[ok]
+            present[idx] = True
+    n_present = int(present.sum())
+    assert n_present >= k, (
+        f"unrecoverable: {n_present} valid survivors < k={k}")
+    erased = np.nonzero(~present)[0]
     progress(f"staged {n_present}/{n} survivors; "
              f"recovering {erased.size} blocks")
 

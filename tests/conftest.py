@@ -19,7 +19,9 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite compiles many distinct NTT shapes;
 # cache them across runs (first run pays ~1-2 min, later runs are seconds).
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Safe here because the backend above is CPU — the same knob HANGS the
+# axon TPU backend (see utils.timer.enable_persistent_cache).
+from fastecc_tpu.utils.timer import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.path.join(os.path.dirname(__file__),
+                                     ".jax_cache"))

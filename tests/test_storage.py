@@ -115,3 +115,37 @@ def test_stream_encode_sparse_multigig(tmp_path):
     h1 = hashlib.sha256(open(src, "rb").read()).hexdigest()
     h2 = hashlib.sha256(open(dst, "rb").read()).hexdigest()
     assert h1 == h2
+
+
+def test_stream_encode_odd_block_size_matches_incore(tmp_path):
+    """Block sizes whose word count is not a multiple of 16 (e.g. 96
+    bytes = 24 words) must stream correctly — the planner falls back to
+    a whole-axis chunk instead of crashing on bitmap misalignment."""
+    src = _make_file(tmp_path, 5 * 96 + 7, name="odd.bin")
+    a, b = tmp_path / "incore", tmp_path / "stream"
+    assert cli.main(["encode", str(src), "-o", str(a),
+                     "--block-bytes", "96"]) == 0
+    storage.encode_file_stream(src, b, GF32, block_bytes=96,
+                               max_resident_bytes=1 << 10)
+    for f in sorted(a.iterdir()):
+        if f.name == "manifest.json":
+            assert json.loads(f.read_text()) == \
+                json.loads((b / f.name).read_text())
+        else:
+            assert filecmp.cmp(f, b / f.name, shallow=False), f.name
+
+
+def test_stream_recover_excludes_corrupt_survivors(tmp_path):
+    """A survivor failing its manifest CRC must be treated as erased by
+    the batched staging pass (CRC rides the single read)."""
+    src = _make_file(tmp_path, 6 * 4096, name="c.bin")
+    out = tmp_path / "coded"
+    storage.encode_file_stream(src, out, GF32, chunk_words=256)
+    victim = sorted(out.glob("block_*.dat"))[2]
+    blob = bytearray(victim.read_bytes())
+    blob[5] ^= 0xAA
+    victim.write_bytes(bytes(blob))           # CRC now mismatches
+    dst = tmp_path / "c.back"
+    wrote = storage.recover_file_stream(out, dst)
+    assert wrote >= 1                         # the corrupt block recovered
+    assert dst.read_bytes() == src.read_bytes()
