@@ -36,13 +36,27 @@ def make_data(k: int, lanes: int):
 
 
 def run(lg_k: int, lanes: int, iters: int, lane_chunks: int):
+    """Returns (single-call secs, marginal secs, bytes, k, n).
+
+    The single-call wall time includes the ~40-55 ms fixed dispatch cost
+    of this environment's tunneled chip (the pinned headline
+    definition); the marginal time (two encodes chained in one jit,
+    differenced) is the true steady-state device cost a pipeline of
+    stripes would see."""
     k, n = 1 << lg_k, 1 << (lg_k + 1)
     data = jax.block_until_ready(make_data(k, lanes))
     fn = jax.jit(lambda x: rs.encode_parity(x, GF32, n,
                                             lane_chunks=lane_chunks))
     secs = time_fn(fn, data, iters=iters)
+    try:
+        fn2 = jax.jit(lambda x: rs.encode_parity(
+            rs.encode_parity(x, GF32, n, lane_chunks=lane_chunks),
+            GF32, n, lane_chunks=lane_chunks))
+        marginal = max(time_fn(fn2, data, iters=iters) - secs, 1e-9)
+    except Exception:  # noqa: BLE001 - marginal is best-effort (memory)
+        marginal = None
     total_bytes = n * lanes * 4
-    return secs, total_bytes, k, n
+    return secs, marginal, total_bytes, k, n
 
 
 def run_decode_metric(iters: int):
@@ -94,8 +108,12 @@ def run_gf16_metric(iters: int):
     data = jax.block_until_ready(bits & jnp.uint32(0xFFFF))
     fn = jax.jit(lambda x: rs.encode_parity(x, GF16, 2 * k))
     secs = time_fn(fn, data, iters=iters)
+    fn2 = jax.jit(lambda x: rs.encode_parity(
+        rs.encode_parity(x, GF16, 2 * k), GF16, 2 * k))
+    marginal = max(time_fn(fn2, data, iters=iters) - secs, 1e-9)
     del data
-    return secs, 2 * k * lanes * 2 / secs / 1e9
+    return secs, 2 * k * lanes * 2 / secs / 1e9, \
+        2 * k * lanes * 2 / marginal / 1e9
 
 
 def run_ntt_metric(iters: int):
@@ -129,8 +147,8 @@ def main():
     while True:
         chunks = args.lane_chunks
         try:
-            secs, total_bytes, k, n = run(lg_k, args.lanes, args.iters,
-                                          chunks)
+            secs, marginal, total_bytes, k, n = run(lg_k, args.lanes,
+                                                    args.iters, chunks)
             break
         except Exception as e:  # noqa: BLE001 - OOM fallback, reported
             if lg_k <= 12:
@@ -162,10 +180,11 @@ def main():
     jax.clear_caches()
     gc.collect()
     try:
-        g16_secs, g16_gbps = run_gf16_metric(args.iters)
+        g16_secs, g16_gbps, g16_marg = run_gf16_metric(args.iters)
         g16_secs, g16_gbps = round(g16_secs, 4), round(g16_gbps, 2)
+        g16_marg = round(g16_marg, 2)
     except Exception:  # noqa: BLE001 - secondary metric is best-effort
-        g16_secs = g16_gbps = None
+        g16_secs = g16_gbps = g16_marg = None
 
     gbps = total_bytes / secs / 1e9
     # Both throughput conventions, so nobody is misled by either: the
@@ -182,6 +201,9 @@ def main():
                    "seconds": round(secs, 4), "fallback": fallback,
                    "lane_chunks": chunks,
                    "parity_gb_per_sec": round(parity_gbps, 3),
+                   "marginal_gb_per_sec": (
+                       round(total_bytes / marginal / 1e9, 2)
+                       if marginal else None),
                    "ntt_2e20_x512lane_seconds": ntt_secs,
                    "decode_call_seconds": dec_call,
                    "decode_2e20_e2e19_seconds": dec_secs,
@@ -190,6 +212,7 @@ def main():
                    "decode_locator": "device",
                    "gf16_encode_2e14_seconds": g16_secs,
                    "gf16_encode_wire_gb_per_sec": g16_gbps,
+                   "gf16_marginal_wire_gb_per_sec": g16_marg,
                    "device": str(jax.devices()[0]).strip()},
     }))
 

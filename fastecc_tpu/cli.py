@@ -388,15 +388,24 @@ def cmd_check(args):
     survivors, flagged, crc_verified = _load_survivors(src, man, quiet=True)
     missing = sorted(set(range(n)) - set(survivors))
     consistent = None
+    located = None
     if not missing:
         cw, _ = dec.survivors_to_codeword(survivors, n, k, field, bb)
         from .rs import _pad_lanes
         padded, _ = _pad_lanes(jnp.asarray(cw))
         consistent = bool(rs.verify_codeword_jit(padded, field, k))
-    # consistent == False with no identified erasures means corruption the
-    # CRC missed: an erasure-only decoder cannot LOCATE the bad block, so
-    # recovery is not guaranteed — report 'inconsistent', not 'degraded'.
-    if consistent is False:
+        if not consistent:
+            # corruption the CRC missed (or forged tags): locate the bad
+            # rows algebraically (Berlekamp-Massey on the NTT-domain
+            # syndromes — decode.locate_errors); `repair` can then fix
+            # them without any CRC evidence at all
+            pos = dec.locate_errors(padded, k, field)
+            if pos is not None and pos.size:
+                located = [int(x) for x in pos]
+    if consistent is False and located:
+        status, recoverable, rc = "corrupt-located", True, 1
+    elif consistent is False:
+        # an erasure-only decoder cannot recover what it cannot locate
         status, recoverable, rc = "inconsistent", None, 3
     elif not missing:
         status, recoverable, rc = "healthy", True, 0
@@ -408,6 +417,7 @@ def cmd_check(args):
         "n": n, "k": k, "present": len(survivors),
         "flagged": [[p, why] for p, why in flagged],
         "missing_or_corrupt": missing,
+        "located_corrupt": located,
         "crc_verified": crc_verified,
         "codeword_consistent": consistent,
         "recoverable": recoverable,
@@ -442,18 +452,32 @@ def cmd_repair(args):
         return 0
     survivors, _, _ = _load_survivors(src, man)
     missing = sorted(set(range(n)) - set(survivors))
-    if not missing:
-        print("nothing to repair")
-        return 0
-    assert len(survivors) >= k, (
-        f"unrecoverable: {len(survivors)} survivors < k={k}")
-
     dpos = set(rs.data_positions(n, k).tolist())
-    cw, _ = dec.survivors_to_codeword(survivors, n, k, field, bb)
     from .rs import _pad_lanes
-    padded, real = _pad_lanes(jnp.asarray(cw))
-    full = np.asarray(dec.decode_host_prepared(
-        padded, np.asarray(missing), field, k=k))[:, :real]
+    trust_tags = bool(missing)
+    if not missing:
+        # no missing/CRC-flagged files: audit algebraically and repair
+        # any silently corrupted rows at UNKNOWN positions (corruption
+        # that defeated or forged the CRC tags) — locate via
+        # Berlekamp-Massey syndromes, then erase-and-recover
+        cw, _ = dec.survivors_to_codeword(survivors, n, k, field, bb)
+        padded, real = _pad_lanes(jnp.asarray(cw))
+        if bool(rs.verify_codeword_jit(padded, field, k)):
+            print("nothing to repair")
+            return 0
+        fixed, pos = dec.correct_errors(padded, k, field)
+        full = np.asarray(fixed)[:, :real]
+        missing = [int(x) for x in pos]
+        print(f"located {len(missing)} silently corrupted blocks "
+              f"algebraically: {missing}")
+    else:
+        assert len(survivors) >= k, (
+            f"unrecoverable: {len(survivors)} survivors < k={k}")
+        cw, _ = dec.survivors_to_codeword(survivors, n, k, field, bb)
+        padded, real = _pad_lanes(jnp.asarray(cw))
+        full = np.asarray(dec.decode_host_prepared(
+            padded, np.asarray(missing), field, k=k))[:, :real]
+    retagged = []
     for pos in missing:
         row = jnp.asarray(full[pos:pos + 1])
         if pos in dpos:
@@ -464,9 +488,21 @@ def cmd_repair(args):
                 packing.serialize_parity(row, field))[0].tobytes()
             path = src / f"block_{pos:06d}.par"
         if str(pos) in tags:
-            assert host.crc32c(blob) == tags[str(pos)], (
-                f"repaired block {pos} fails its manifest CRC")
+            crc = host.crc32c(blob)
+            if trust_tags:
+                assert crc == tags[str(pos)], (
+                    f"repaired block {pos} fails its manifest CRC")
+            elif crc != tags[str(pos)]:
+                # located-corruption repair: the stored tag is untrusted
+                # for these rows (the corruption evidently defeated or
+                # forged it) — re-tag from the verified reconstruction
+                tags[str(pos)] = crc
+                retagged.append(pos)
         path.write_bytes(blob)
+    if retagged:
+        man["crc32c"] = tags
+        (src / "manifest.json").write_text(json.dumps(man))
+        print(f"re-tagged {len(retagged)} forged/stale manifest CRCs")
     print(f"repaired {len(missing)} blocks in {src}")
     return 0
 

@@ -426,6 +426,149 @@ decode_jit = jax.jit(decode, static_argnames=("field", "k"))
 
 
 # ---------------------------------------------------------------------------
+# Unknown-position ERROR correction (beyond the reference, which never
+# implemented even erasure decoding): locate up to (n-k)/2 silently
+# corrupted rows algebraically, then erase-and-recover them.
+#
+# Math. c'_j = f(w^j) + e_j with errors at unknown positions E, |E| = t.
+# coeffs' = iNTT(c') has coeffs'[m] = f_m + n^-1 sum_{j in E} e_j w^(-jm);
+# for m >= k, f_m = 0, so S_r := coeffs'[k+r] = sum_{j in E} E_j X_j^r
+# with X_j = w^-j and E_j = n^-1 e_j w^-kj != 0 — classic power-sum
+# syndromes. Berlekamp-Massey finds the minimal LFSR Lambda(x) =
+# prod_j (1 - X_j x) from 2t <= n-k syndromes; its roots are X_j^-1 =
+# w^j, so ONE forward NTT of Lambda evaluates it at every w^j and the
+# zeros are the error positions. Erasure-decode finishes the job.
+# Correctness requires all n rows present and t <= (n-k)/2.
+# ---------------------------------------------------------------------------
+
+
+def _berlekamp_massey(s: list[int], p: int) -> list[int]:
+    """Minimal LFSR coefficients [1, l1, .., lt] (Python ints mod p) with
+    sum_i l_i * s[r-i] = -s[r] ... i.e. Lambda with Lambda[0] = 1 such
+    that sum_{i=0..t} Lambda[i] * s[r-i] = 0 for all r >= t."""
+    c, b = [1], [1]                    # current / previous connection poly
+    L, m, bb = 0, 1, 1                 # LFSR len, gap, last discrepancy
+    for r in range(len(s)):
+        d = 0
+        for i in range(L + 1):
+            d = (d + c[i] * s[r - i]) % p
+        if d == 0:
+            m += 1
+        elif 2 * L <= r:
+            t0 = list(c)
+            coef = d * pow(bb, p - 2, p) % p
+            c = c + [0] * (len(b) + m - len(c))
+            for i, bi in enumerate(b):
+                c[i + m] = (c[i + m] - coef * bi) % p
+            L, b, bb, m = r + 1 - L, t0, d, 1
+        else:
+            coef = d * pow(bb, p - 2, p) % p
+            c = c + [0] * max(0, len(b) + m - len(c))
+            for i, bi in enumerate(b):
+                c[i + m] = (c[i + m] - coef * bi) % p
+            m += 1
+    return c[: L + 1]
+
+
+def locate_errors(codeword, k: int, field: FieldSpec,
+                  probe_lanes: int = 8):
+    """Positions of corrupted rows in a FULLY-PRESENT codeword whose
+    corruption is at unknown positions (e.g. bit rot that also forged the
+    CRC tags). Returns a sorted numpy int array of positions, or None if
+    the corruption is not locatable (more than (n-k)/2 bad rows, or an
+    adversarial pattern). An empty array means the codeword is consistent.
+
+    Syndromes are taken from a random linear combination of up to
+    ``probe_lanes`` lanes (a block-level corruption hits the same row of
+    every lane; the combo makes a zero-syndrome fluke vanishingly
+    unlikely), Berlekamp-Massey runs on the host, and the locator's roots
+    are found with one forward NTT over all n evaluation points.
+    """
+    cw = jnp.asarray(codeword)
+    n, lanes = cw.shape[0], int(np.prod(cw.shape[1:]))
+    cw2 = cw.reshape(n, lanes)
+    coeffs = ntt_auto(cw2, field, inverse=True)
+    m = min(probe_lanes, lanes)
+    syn = np.asarray(coeffs[k:, :m]).astype(np.uint64)     # [n-k, m]
+    if not syn.any():
+        return np.empty(0, dtype=np.int64)
+    rng = np.random.default_rng(0xE0C)
+    p = np.uint64(field.p)
+    combo = rng.integers(1, field.p, size=m, dtype=np.uint64)
+    s = np.zeros(syn.shape[0], dtype=np.uint64)
+    for i in range(m):                 # per-term mod: products < 2^64
+        s = (s + syn[:, i] * combo[i] % p) % p
+    # Berlekamp-Massey is O(w^2) host bigint work; grow the syndrome
+    # window (a window of w locates up to w/2 errors) and accept only
+    # when the full syndrome sequence satisfies the found recurrence AND
+    # the locator splits with exactly t roots over the w^j — this caps
+    # locatable corruption at _BM_MAX/2 rows, far beyond any plausible
+    # silent-corruption count (mass corruption is CRC's job).
+    for window in (64, 1024, _BM_MAX):
+        w = min(window, n - k)
+        lam = _berlekamp_massey([int(v) for v in s[:w]], field.p)
+        t = len(lam) - 1
+        if t == 0 or 2 * t > w:
+            if w == n - k or window == _BM_MAX:
+                return None
+            continue
+        lam_u = np.array([v % field.p for v in lam], dtype=np.uint64)
+        if not _lfsr_holds(lam_u, s, p):
+            if w == n - k or window == _BM_MAX:
+                return None
+            continue
+        pad = np.zeros(n, dtype=np.uint32)
+        pad[: t + 1] = lam_u.astype(np.uint32)
+        evals = np.asarray(
+            ntt_auto(jnp.asarray(pad[:, None]), field))[:, 0]
+        pos = np.nonzero(evals == 0)[0]
+        if pos.size == t:
+            return np.sort(pos)
+        if w == n - k or window == _BM_MAX:
+            return None
+    return None
+
+
+_BM_MAX = 8192     # syndrome-window cap: locates up to 4096 corrupt rows
+
+
+def _lfsr_holds(lam_u: np.ndarray, s: np.ndarray, p: np.uint64) -> bool:
+    """Vectorized check that sum_i lam[i] * s[r-i] == 0 (mod p) for every
+    r >= t across the FULL syndrome sequence."""
+    t = lam_u.shape[0] - 1
+    if s.shape[0] <= t:
+        return True
+    acc = np.zeros(s.shape[0] - t, dtype=np.uint64)
+    for i in range(t + 1):
+        acc = (acc + lam_u[i] * s[t - i: s.shape[0] - i] % p) % p
+    return not acc.any()
+
+
+def correct_errors(codeword, k: int, field: FieldSpec):
+    """Correct up to (n-k)/2 silently corrupted rows at UNKNOWN positions.
+
+    Returns (corrected [n, lanes], positions) — positions is the sorted
+    array of rows that were fixed (empty if the input was consistent).
+    Raises ValueError when the corruption cannot be located/verified.
+    """
+    from .rs import verify_codeword_jit
+
+    cw = jnp.asarray(codeword)
+    n = cw.shape[0]
+    pos = locate_errors(cw, k, field)
+    if pos is None:
+        raise ValueError(
+            f"corruption not locatable (more than (n-k)/2 = {(n - k) // 2} "
+            f"bad rows, or degenerate pattern)")
+    if pos.size == 0:
+        return cw, pos
+    fixed = decode_host_prepared(cw, pos, field, k=k)
+    if not bool(verify_codeword_jit(fixed, field, k)):
+        raise ValueError("post-correction consistency check failed")
+    return fixed, pos
+
+
+# ---------------------------------------------------------------------------
 # Block-level (wire format) decode.
 # ---------------------------------------------------------------------------
 

@@ -181,10 +181,13 @@ def test_file_encode_recover_gf16(tmp_path):
     assert dst.read_bytes() == src.read_bytes()
 
 
-def test_check_reports_inconsistent_for_uncaught_corruption(tmp_path):
-    """Corruption that defeats CRC (tag rewritten to match) with all n
-    blocks present must yield status 'inconsistent' (an erasure-only
-    decoder cannot locate it), exit code 3 — not 'degraded/recoverable'."""
+def test_check_locates_and_repair_fixes_forged_crc_corruption(
+        tmp_path, capsys):
+    """Corruption that defeats CRC (tag forged to match) with all n
+    blocks present: check must LOCATE it algebraically (status
+    corrupt-located, rc 1, not a blind 'inconsistent'), and repair must
+    fix the block and re-tag the forged manifest CRC — full silent-
+    corruption recovery with zero trustworthy integrity metadata."""
     import json as js
 
     from fastecc_tpu import cli, host
@@ -193,7 +196,8 @@ def test_check_reports_inconsistent_for_uncaught_corruption(tmp_path):
     out = tmp_path / "coded"
     assert cli.main(["encode", str(src), "-o", str(out)]) == 0
     victim = sorted(out.glob("block_*.par"))[0]
-    blob = bytearray(victim.read_bytes())
+    good = victim.read_bytes()
+    blob = bytearray(good)
     blob[12] ^= 0x55
     victim.write_bytes(bytes(blob))
     # forge the manifest tag so CRC passes and only the algebraic
@@ -202,7 +206,13 @@ def test_check_reports_inconsistent_for_uncaught_corruption(tmp_path):
     pos = int(victim.stem.split("_")[1])
     man["crc32c"][str(pos)] = int(host.crc32c(bytes(blob)))
     (out / "manifest.json").write_text(js.dumps(man))
-    assert cli.main(["check", str(out)]) == 3
+    assert cli.main(["check", str(out)]) == 1
+    rep = js.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "corrupt-located"
+    assert rep["located_corrupt"] == [pos]
+    assert cli.main(["repair", str(out)]) == 0
+    assert victim.read_bytes() == good
+    assert cli.main(["check", str(out)]) == 0   # incl. re-tagged CRC
 
 
 def test_check_reports_crc_verified_without_native(tmp_path, monkeypatch):
