@@ -363,7 +363,8 @@ def cmd_recover(args):
     print(f"{len(survivors)}/{n} blocks present ({lost} lost); "
           f"need any {k}")
     data = dec.decode_blocks(survivors, n, k, field,
-                             block_bytes=man.get("block_bytes", 4096))
+                             block_bytes=man.get("block_bytes", 4096),
+                             check=args.check)
     out.write_bytes(data.reshape(-1)[:size].tobytes())
     print(f"recovered {man['file']} -> {out} ({size} bytes)")
     return 0
@@ -454,7 +455,7 @@ def cmd_repair(args):
     missing = sorted(set(range(n)) - set(survivors))
     dpos = set(rs.data_positions(n, k).tolist())
     from .rs import _pad_lanes
-    trust_tags = bool(missing)
+    located_set = set()
     if not missing:
         # no missing/CRC-flagged files: audit algebraically and repair
         # any silently corrupted rows at UNKNOWN positions (corruption
@@ -468,6 +469,7 @@ def cmd_repair(args):
         fixed, pos = dec.correct_errors(padded, k, field)
         full = np.asarray(fixed)[:, :real]
         missing = [int(x) for x in pos]
+        located_set = set(missing)
         print(f"located {len(missing)} silently corrupted blocks "
               f"algebraically: {missing}")
     else:
@@ -475,8 +477,18 @@ def cmd_repair(args):
             f"unrecoverable: {len(survivors)} survivors < k={k}")
         cw, _ = dec.survivors_to_codeword(survivors, n, k, field, bb)
         padded, real = _pad_lanes(jnp.asarray(cw))
-        full = np.asarray(dec.decode_host_prepared(
-            padded, np.asarray(missing), field, k=k))[:, :real]
+        dec_full = dec.decode_host_prepared(
+            padded, np.asarray(missing), field, k=k)
+        if not bool(rs.verify_codeword_jit(dec_full, field, k)):
+            # a SURVIVOR was silently corrupted on top of the missing
+            # files: errors-and-erasures correction (e + 2t <= n-k)
+            dec_full, pos = dec.correct_errors(padded, k, field,
+                                               erased=np.asarray(missing))
+            located_set = {int(x) for x in pos}
+            missing = sorted(set(missing) | located_set)
+            print(f"located {len(located_set)} silently corrupted "
+                  f"survivors algebraically: {sorted(located_set)}")
+        full = np.asarray(dec_full)[:, :real]
     retagged = []
     for pos in missing:
         row = jnp.asarray(full[pos:pos + 1])
@@ -489,7 +501,7 @@ def cmd_repair(args):
             path = src / f"block_{pos:06d}.par"
         if str(pos) in tags:
             crc = host.crc32c(blob)
-            if trust_tags:
+            if pos not in located_set:
                 assert crc == tags[str(pos)], (
                     f"repaired block {pos} fails its manifest CRC")
             elif crc != tags[str(pos)]:
@@ -644,6 +656,10 @@ def main(argv=None):
     p.add_argument("--max-resident", type=int, default=2048, metavar="MB",
                    help="stream codewords larger than this (memmap "
                         "staging + lane-chunk decode)")
+    p.add_argument("--check", action="store_true",
+                   help="verify the decoded codeword algebraically and "
+                        "auto-correct silently corrupted survivors "
+                        "(errors-and-erasures, e + 2t <= n-k)")
     p.set_defaults(fn=cmd_recover)
 
     p = sub.add_parser("check", help="audit a coded directory (CRC + "

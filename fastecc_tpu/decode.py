@@ -470,34 +470,70 @@ def _berlekamp_massey(s: list[int], p: int) -> list[int]:
     return c[: L + 1]
 
 
-def locate_errors(codeword, k: int, field: FieldSpec,
-                  probe_lanes: int = 8):
-    """Positions of corrupted rows in a FULLY-PRESENT codeword whose
-    corruption is at unknown positions (e.g. bit rot that also forged the
-    CRC tags). Returns a sorted numpy int array of positions, or None if
-    the corruption is not locatable (more than (n-k)/2 bad rows, or an
-    adversarial pattern). An empty array means the codeword is consistent.
+def _lane_combo(field: FieldSpec, x, seed: int):
+    """Random linear combination of the lane axis of [m, L] -> [m], all
+    on device: elementwise multiply by random prepared coefficients, then
+    a log-depth modular pairwise-add reduction (a plain sum would
+    overflow u32 and a host pull of [n-k, L] could be gigabytes)."""
+    m, lanes = x.shape
+    rng = np.random.default_rng(seed)
+    combo = rng.integers(1, field.p, size=lanes, dtype=np.uint64).astype(
+        np.uint32)
+    from .ntt import prepare_consts
+    y = mul_prepared(field, x,
+                     jnp.asarray(np.asarray(
+                         prepare_consts(field, combo)))[None, :])
+    lp = 1 << (lanes - 1).bit_length()
+    if lp != lanes:
+        y = jnp.concatenate(
+            [y, jnp.zeros((m, lp - lanes), jnp.uint32)], axis=1)
+    while lp > 1:
+        y = gf.add(field, y[:, : lp // 2], y[:, lp // 2: lp])
+        lp //= 2
+    return y[:, 0]
 
-    Syndromes are taken from a random linear combination of up to
-    ``probe_lanes`` lanes (a block-level corruption hits the same row of
-    every lane; the combo makes a zero-syndrome fluke vanishingly
-    unlikely), Berlekamp-Massey runs on the host, and the locator's roots
-    are found with one forward NTT over all n evaluation points.
+
+def locate_errors(codeword, k: int, field: FieldSpec, erased=None):
+    """Positions of corrupted rows at unknown positions (e.g. bit rot
+    that also forged the CRC tags). Returns a sorted numpy int array of
+    positions, or None if the corruption is not locatable (too many bad
+    rows, or an adversarial pattern). An empty array means consistent.
+
+    ``erased`` (optional, host numpy) lists KNOWN-erased rows: the
+    errors-and-erasures form. The codeword is weighted by the erasure
+    locator's evaluations Γ(w^j) (zero at erased rows — their garbage
+    drops out), deg(f·Γ) < k + e, so coefficients k+e.. are power-sum
+    syndromes of the Γ-weighted unknown errors and BM locates up to
+    t <= (n-k-e)/2 additional corrupt rows (e + 2t <= n-k total).
+
+    Syndromes are taken from a random linear combination over ALL lanes
+    (corruption may touch as little as one lane of one row; probing a
+    lane subset would miss it — a combo coefficient annihilating a
+    corrupt row instead has probability ~1/p, and two independent combos
+    are checked), Berlekamp-Massey runs on the host, and the locator's
+    roots are found with one forward NTT over all n evaluation points.
     """
     cw = jnp.asarray(codeword)
     n, lanes = cw.shape[0], int(np.prod(cw.shape[1:]))
     cw2 = cw.reshape(n, lanes)
-    coeffs = ntt_auto(cw2, field, inverse=True)
-    m = min(probe_lanes, lanes)
-    syn = np.asarray(coeffs[k:, :m]).astype(np.uint64)     # [n-k, m]
-    if not syn.any():
+    base = k
+    pre = None
+    if erased is not None and len(erased):
+        erased = np.asarray(erased)
+        base = k + int(erased.shape[0])
+        if base >= n:
+            return None
+        l_eval, _ = locator_host(erased, n, field)
+        from .ntt import prepare_consts
+        pre = jnp.asarray(np.asarray(prepare_consts(field, l_eval)))
+    coeffs = ntt_auto(cw2, field, inverse=True, pre_vec=pre)
+    syn2d = coeffs[base:]                                  # [n-base, L]
+    s1 = np.asarray(_lane_combo(field, syn2d, 0xE0C)).astype(np.uint64)
+    s2 = np.asarray(_lane_combo(field, syn2d, 0x5EED)).astype(np.uint64)
+    if not s1.any() and not s2.any():
         return np.empty(0, dtype=np.int64)
-    rng = np.random.default_rng(0xE0C)
     p = np.uint64(field.p)
-    combo = rng.integers(1, field.p, size=m, dtype=np.uint64)
-    s = np.zeros(syn.shape[0], dtype=np.uint64)
-    for i in range(m):                 # per-term mod: products < 2^64
-        s = (s + syn[:, i] * combo[i] % p) % p
+    s = s1 if s1.any() else s2
     # Berlekamp-Massey is O(w^2) host bigint work; grow the syndrome
     # window (a window of w locates up to w/2 errors) and accept only
     # when the full syndrome sequence satisfies the found recurrence AND
@@ -505,16 +541,16 @@ def locate_errors(codeword, k: int, field: FieldSpec,
     # locatable corruption at _BM_MAX/2 rows, far beyond any plausible
     # silent-corruption count (mass corruption is CRC's job).
     for window in (64, 1024, _BM_MAX):
-        w = min(window, n - k)
+        w = min(window, n - base)
         lam = _berlekamp_massey([int(v) for v in s[:w]], field.p)
         t = len(lam) - 1
         if t == 0 or 2 * t > w:
-            if w == n - k or window == _BM_MAX:
+            if w == n - base or window == _BM_MAX:
                 return None
             continue
         lam_u = np.array([v % field.p for v in lam], dtype=np.uint64)
         if not _lfsr_holds(lam_u, s, p):
-            if w == n - k or window == _BM_MAX:
+            if w == n - base or window == _BM_MAX:
                 return None
             continue
         pad = np.zeros(n, dtype=np.uint32)
@@ -524,7 +560,7 @@ def locate_errors(codeword, k: int, field: FieldSpec,
         pos = np.nonzero(evals == 0)[0]
         if pos.size == t:
             return np.sort(pos)
-        if w == n - k or window == _BM_MAX:
+        if w == n - base or window == _BM_MAX:
             return None
     return None
 
@@ -544,25 +580,33 @@ def _lfsr_holds(lam_u: np.ndarray, s: np.ndarray, p: np.uint64) -> bool:
     return not acc.any()
 
 
-def correct_errors(codeword, k: int, field: FieldSpec):
-    """Correct up to (n-k)/2 silently corrupted rows at UNKNOWN positions.
+def correct_errors(codeword, k: int, field: FieldSpec, erased=None):
+    """Correct silently corrupted rows at UNKNOWN positions — up to
+    (n-k)/2 of them, or with ``erased`` listing known-lost rows, the full
+    errors-and-erasures capacity e + 2t <= n-k (the erased rows are
+    recovered too).
 
     Returns (corrected [n, lanes], positions) — positions is the sorted
-    array of rows that were fixed (empty if the input was consistent).
+    array of UNKNOWN-position rows that were fixed (empty if the input
+    was consistent apart from the declared erasures).
     Raises ValueError when the corruption cannot be located/verified.
     """
     from .rs import verify_codeword_jit
 
     cw = jnp.asarray(codeword)
     n = cw.shape[0]
-    pos = locate_errors(cw, k, field)
+    pos = locate_errors(cw, k, field, erased=erased)
     if pos is None:
         raise ValueError(
-            f"corruption not locatable (more than (n-k)/2 = {(n - k) // 2} "
-            f"bad rows, or degenerate pattern)")
-    if pos.size == 0:
+            "corruption not locatable (beyond the e + 2t <= n-k "
+            "errors-and-erasures capacity, or degenerate pattern)")
+    e_arr = (np.asarray(erased, dtype=np.int64)
+             if erased is not None and len(erased) else
+             np.empty(0, dtype=np.int64))
+    all_bad = np.union1d(e_arr, pos)
+    if all_bad.size == 0:
         return cw, pos
-    fixed = decode_host_prepared(cw, pos, field, k=k)
+    fixed = decode_host_prepared(cw, all_bad, field, k=k)
     if not bool(verify_codeword_jit(fixed, field, k)):
         raise ValueError("post-correction consistency check failed")
     return fixed, pos
@@ -616,7 +660,8 @@ def survivors_to_codeword(survivors: dict, n: int, k: int, field: FieldSpec,
     return cw, present
 
 def decode_blocks(survivors: dict, n: int, k: int, field: FieldSpec,
-                  block_bytes: int = packing.BLOCK_BYTES):
+                  block_bytes: int = packing.BLOCK_BYTES,
+                  check: bool = False):
     """Recover all k data blocks from any >= k surviving codeword blocks.
 
     Args:
@@ -626,22 +671,38 @@ def decode_blocks(survivors: dict, n: int, k: int, field: FieldSpec,
       n, k: code parameters (k | n, powers of two).
       field: field spec.
       block_bytes: wire block size (default 4096).
+      check: verify the decoded codeword's algebraic consistency (one
+        extra transform). A failure means some SURVIVOR was silently
+        corrupted; when the remaining redundancy allows (e + 2t <= n-k)
+        the corrupt survivors are located and corrected automatically,
+        otherwise ValueError. Without ``check`` such corruption
+        propagates into the output silently (CRC tags are the first
+        line of defense; this is the belt to their suspenders).
 
     Returns:
       [k, block_bytes] uint8 array of the original data blocks.
     """
+    from .rs import _pad_lanes, verify_codeword_jit
+
     assert len(survivors) >= k, (
         f"unrecoverable: {len(survivors)} survivors < k={k}")
     cw, present = survivors_to_codeword(survivors, n, k, field, block_bytes)
     erased = np.nonzero(~present)[0]
     if erased.size:
-        from .rs import _pad_lanes
         padded, real_lanes = _pad_lanes(jnp.asarray(cw))
         # positions are host-known here: the host-prepared locator path
         # skips the on-device product tree (thousands of tiny kernels)
-        full = decode_host_prepared(padded, erased, field,
-                                    k=k)[:, :real_lanes]
+        fullp = decode_host_prepared(padded, erased, field, k=k)
+        if check and not bool(verify_codeword_jit(fullp, field, k)):
+            # a survivor lied: errors-and-erasures correction
+            fullp, bad = correct_errors(padded, k, field, erased=erased)
+        full = fullp[:, :real_lanes]
     else:
         full = jnp.asarray(cw)
+        if check:
+            padded, real_lanes = _pad_lanes(full)
+            if not bool(verify_codeword_jit(padded, field, k)):
+                fixed, bad = correct_errors(padded, k, field)
+                full = fixed[:, :real_lanes]
     data_rows = full[data_positions(n, k)]
     return np.asarray(packing.unpack_data(data_rows, field))

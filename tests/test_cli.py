@@ -231,3 +231,62 @@ def test_check_reports_crc_verified_without_native(tmp_path, monkeypatch):
     blob[7] ^= 0xFF
     victim.write_bytes(bytes(blob))
     assert cli.main(["check", str(out)]) == 1   # caught by numpy CRC
+
+
+def test_repair_mixed_missing_and_silent_corruption(tmp_path):
+    """Missing files AND a silently corrupted survivor (forged CRC) in
+    the same directory: repair must recover both (errors-and-erasures)."""
+    import json as js
+
+    from fastecc_tpu import cli, host
+    src = tmp_path / "input.bin"
+    src.write_bytes(bytes(range(256)) * 48)
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    # delete two files
+    gone = sorted(out.glob("block_*.dat"))[:2]
+    originals = {g.name: g.read_bytes() for g in gone}
+    for g in gone:
+        g.unlink()
+    # silently corrupt a third, forging its CRC tag
+    victim = sorted(out.glob("block_*.par"))[1]
+    vgood = victim.read_bytes()
+    blob = bytearray(vgood)
+    blob[33] ^= 0x1F
+    victim.write_bytes(bytes(blob))
+    man = js.loads((out / "manifest.json").read_text())
+    vpos = int(victim.stem.split("_")[1])
+    man["crc32c"][str(vpos)] = int(host.crc32c(bytes(blob)))
+    (out / "manifest.json").write_text(js.dumps(man))
+
+    assert cli.main(["repair", str(out)]) == 0
+    for name, data in originals.items():
+        assert (out / name).read_bytes() == data
+    assert victim.read_bytes() == vgood
+    assert cli.main(["check", str(out)]) == 0
+
+
+def test_recover_check_corrects_lying_survivor(tmp_path):
+    """recover --check must auto-correct a silently corrupted survivor
+    instead of writing a corrupt file."""
+    import json as js
+
+    from fastecc_tpu import cli, host
+    src = tmp_path / "input.bin"
+    src.write_bytes(bytes(range(256)) * 40)
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    # corrupt a DATA survivor silently (forged tag) and drop one parity
+    victim = sorted(out.glob("block_*.dat"))[1]
+    blob = bytearray(victim.read_bytes())
+    blob[100] ^= 0x77
+    victim.write_bytes(bytes(blob))
+    man = js.loads((out / "manifest.json").read_text())
+    vpos = int(victim.stem.split("_")[1])
+    man["crc32c"][str(vpos)] = int(host.crc32c(bytes(blob)))
+    (out / "manifest.json").write_text(js.dumps(man))
+    sorted(out.glob("block_*.par"))[0].unlink()
+
+    dst = tmp_path / "back.bin"
+    assert cli.main(["recover", str(out), "-o", str(dst), "--check"]) == 0
+    assert dst.read_bytes() == src.read_bytes()

@@ -335,3 +335,38 @@ def test_correct_errors_at_exact_capacity():
     fixed, fpos = dec.correct_errors(jnp.asarray(bad), k, GF32)
     np.testing.assert_array_equal(fpos, diff)
     np.testing.assert_array_equal(np.asarray(fixed), cw)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_errors_and_erasures_combined(field):
+    """Full e + 2t <= n-k capacity: e known-lost rows AND t unknown
+    corrupted rows recovered together."""
+    n, k, lanes = 256, 128, 4
+    e, t = 100, 14                      # 100 + 2*14 = 128 = n - k
+    data = rand_field(field, (k, lanes))
+    cw = np.asarray(rs.encode(jnp.asarray(data), field, n))
+    rng = np.random.default_rng(5)
+    both = rng.choice(n, size=e + t, replace=False)
+    erased, errs = np.sort(both[:e]), np.sort(both[e:])
+    bad = cw.copy()
+    bad[erased] = rand_field(field, (e, lanes))   # garbage (declared lost)
+    bad[errs] = (bad[errs].astype(np.uint64) + 1) % field.p  # silent
+    fixed, pos = dec.correct_errors(jnp.asarray(bad), k, field,
+                                    erased=erased)
+    np.testing.assert_array_equal(pos, errs)
+    np.testing.assert_array_equal(np.asarray(fixed), cw)
+
+
+def test_errors_and_erasures_beyond_capacity():
+    n, k, lanes = 128, 64, 3
+    e, t = 50, 10                       # 50 + 20 > 64
+    data = rand_field(GF32, (k, lanes))
+    cw = np.asarray(rs.encode(jnp.asarray(data), GF32, n))
+    rng = np.random.default_rng(6)
+    both = rng.choice(n, size=e + t, replace=False)
+    erased, errs = np.sort(both[:e]), np.sort(both[e:])
+    bad = cw.copy()
+    bad[erased] = 0
+    bad[errs] = (bad[errs].astype(np.uint64) + 9) % GF32.p
+    with pytest.raises(ValueError):
+        dec.correct_errors(jnp.asarray(bad), k, GF32, erased=erased)
