@@ -221,6 +221,33 @@ update_parity_jit = jax.jit(update_parity,
                             static_argnames=("i", "field", "n"))
 
 
+def update_parity_multi(parity, idxs: tuple, old_blocks, new_blocks,
+                        field: FieldSpec, n: int | None = None):
+    """Incrementally update parity after SEVERAL data blocks change in
+    one jitted pass: parity' = parity + sum_i L_i(y) * (new_i - old_i)
+    — the RAID partial-stripe write for a multi-block span,
+    O(s * (n-k) * lanes) instead of a full re-encode. ``idxs`` is a
+    static tuple of data-block indices; ``old_blocks``/``new_blocks``
+    are [s, L]. Bit-exact equal to re-encoding (test-enforced)."""
+    m = parity.shape[0]
+    n = 2 * m if n is None else n
+    k = n - m
+    _check_kn(k, n)
+    assert len(idxs) == old_blocks.shape[0] == new_blocks.shape[0]
+    delta = gf.sub(field, jnp.asarray(new_blocks), jnp.asarray(old_blocks))
+    acc = parity
+    for j, i in enumerate(idxs):
+        assert 0 <= i < k
+        v = jnp.asarray(_update_row_consts(field.name, n, k, int(i)))
+        acc = gf.add(field, acc,
+                     mul_prepared(field, delta[j:j + 1], v[:, None]))
+    return acc
+
+
+update_parity_multi_jit = jax.jit(
+    update_parity_multi, static_argnames=("idxs", "field", "n"))
+
+
 def verify_codeword(codeword, field: FieldSpec, k: int):
     """Consistency check: True iff every lane is a valid codeword
     (evaluations of a degree-<k polynomial), i.e. iNTT_n(cw)[k:] == 0.

@@ -52,3 +52,55 @@ def test_fuzz_roundtrip(trial):
         out_dev = np.asarray(dec.decode(
             jnp.asarray(garbled), jnp.asarray(erased), field))
         np.testing.assert_array_equal(out_dev, cw)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_errors_and_erasures(trial):
+    """Random (field, n, e, t) within e + 2t <= n-k: correct_errors must
+    recover exactly and report exactly the genuinely-corrupt rows."""
+    field = (GF32, GF16)[trial % 2]
+    lg_k = int(RNG.integers(3, 7))
+    k = 1 << lg_k
+    n = 2 * k
+    lanes = int(RNG.integers(1, 6))
+    cap = n - k
+    e = int(RNG.integers(0, cap))
+    t = int(RNG.integers(0 if e else 1, (cap - e) // 2 + 1)) \
+        if (cap - e) >= 2 or e == 0 else 0
+    if e + 2 * t > cap or (e == 0 and t == 0):
+        t = max(1, t)
+        e = min(e, cap - 2 * t)
+    data = rand_field(field, (k, lanes))
+    cw = np.asarray(rs.encode(jnp.asarray(data), field, n))
+    both = RNG.choice(n, size=e + t, replace=False)
+    erased = np.sort(both[:e]) if e else None
+    errs = np.sort(both[e:])
+    bad = cw.copy()
+    if e:
+        bad[erased] = rand_field(field, (e, lanes))
+    if t:
+        bad[errs] = (bad[errs].astype(np.uint64) + trial + 1) % field.p
+    fixed, pos = dec.correct_errors(jnp.asarray(bad), k, field,
+                                    erased=erased)
+    np.testing.assert_array_equal(np.asarray(fixed), cw,
+                                  err_msg=f"trial {trial} "
+                                          f"(e={e}, t={t}, n={n})")
+    np.testing.assert_array_equal(pos, errs)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_update_parity_multi_matches_reencode(field):
+    """Batched incremental parity update == full re-encode."""
+    k, n, lanes = 32, 64, 7
+    data = rand_field(field, (k, lanes))
+    par = rs.encode_parity(jnp.asarray(data), field, n)
+    idxs = (3, 17, 30)
+    new = data.copy()
+    news = rand_field(field, (len(idxs), lanes))
+    olds = np.stack([data[i] for i in idxs])
+    for j, i in enumerate(idxs):
+        new[i] = news[j]
+    got = np.asarray(rs.update_parity_multi_jit(
+        par, idxs, jnp.asarray(olds), jnp.asarray(news), field, n))
+    want = np.asarray(rs.encode_parity(jnp.asarray(new), field, n))
+    np.testing.assert_array_equal(got, want)

@@ -149,3 +149,37 @@ def test_stream_recover_excludes_corrupt_survivors(tmp_path):
     wrote = storage.recover_file_stream(out, dst)
     assert wrote >= 1                         # the corrupt block recovered
     assert dst.read_bytes() == src.read_bytes()
+
+
+def test_stream_recover_gf16(tmp_path):
+    """GF16 streaming roundtrip (2-byte wire words, parity 0x10000
+    escape bitmap path)."""
+    src = _make_file(tmp_path, 5 * 4096 + 3, name="g16.bin")
+    out = tmp_path / "coded16"
+    storage.encode_file_stream(src, out, GF16, chunk_words=256)
+    man = json.loads((out / "manifest.json").read_text())
+    n, k = man["n"], man["k"]
+    files = sorted(out.glob("block_*.dat")) + sorted(out.glob("block_*.par"))
+    for i in RNG.choice(len(files), size=n - k, replace=False):
+        files[i].unlink()
+    dst = tmp_path / "g16.back"
+    storage.recover_file_stream(out, dst, chunk_lanes=128)
+    assert dst.read_bytes() == src.read_bytes()
+    # streamed dir interoperates with the in-core CLI check
+    assert cli.main(["repair", str(out)]) == 0
+    assert cli.main(["check", str(out)]) == 0
+
+
+def test_stream_encode_empty_and_tiny_files(tmp_path):
+    """0-byte and sub-block files must stream and recover fine."""
+    for size, name in ((0, "empty"), (17, "tiny")):
+        src = tmp_path / f"{name}.bin"
+        src.write_bytes(bytes(range(256))[:size])
+        out = tmp_path / f"{name}.coded"
+        storage.encode_file_stream(src, out, GF32, chunk_words=64)
+        man = json.loads((out / "manifest.json").read_text())
+        assert man["size"] == size and man["k"] == 1
+        (sorted(out.glob("block_*.dat")))[0].unlink()
+        dst = tmp_path / f"{name}.back"
+        storage.recover_file_stream(out, dst)
+        assert dst.read_bytes() == src.read_bytes()
