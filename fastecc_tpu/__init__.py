@@ -9,17 +9,19 @@ Public API:
   fields.GF32 / fields.GF16      — the two supported prime fields
   ntt.ntt / ntt.intt             — single-chip Stockham NTT (axis 0)
   rs.encode / rs.decode          — Reed-Solomon erasure codec over 4KB blocks
+  decode.correct_errors          — unknown-position errors-and-erasures
+  storage                        — out-of-core streaming file codec
   parallel.mesh / parallel.ntt_dist — multi-chip sharded four-step NTT
 """
 
 from fastecc_tpu.fields import FIELDS, GF16, GF32, FieldSpec
 
 _SUBMODULES = ("gf", "ntt", "rs", "decode", "packing", "host", "testing",
-               "parallel", "utils", "cli")
+               "parallel", "utils", "cli", "storage")
 
 __all__ = ["FIELDS", "GF16", "GF32", "FieldSpec", *_SUBMODULES]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 
 def __getattr__(name):
