@@ -354,7 +354,7 @@ def cmd_recover(args):
         from . import storage
         wrote = storage.recover_file_stream(
             src, out, max_resident_bytes=args.max_resident << 20,
-            progress=print)
+            check=args.check, progress=print)
         print(f"recovered {man['file']} -> {out} ({size} bytes, "
               f"{wrote} blocks reconstructed, streamed)")
         return 0
@@ -448,7 +448,7 @@ def cmd_repair(args):
         from . import storage
         wrote = storage.recover_file_stream(
             src, None, max_resident_bytes=args.max_resident << 20,
-            repair=True, progress=print)
+            repair=True, check=True, progress=print)
         print(f"repaired {wrote} blocks in {src} (streamed)")
         return 0
     survivors, _, _ = _load_survivors(src, man)

@@ -479,7 +479,6 @@ def _lane_combo(field: FieldSpec, x, seed: int):
     rng = np.random.default_rng(seed)
     combo = rng.integers(1, field.p, size=lanes, dtype=np.uint64).astype(
         np.uint32)
-    from .ntt import prepare_consts
     y = mul_prepared(field, x,
                      jnp.asarray(np.asarray(
                          prepare_consts(field, combo)))[None, :])
@@ -524,19 +523,27 @@ def locate_errors(codeword, k: int, field: FieldSpec, erased=None):
         if base >= n:
             return None
         l_eval, _ = locator_host(erased, n, field)
-        from .ntt import prepare_consts
         pre = jnp.asarray(np.asarray(prepare_consts(field, l_eval)))
     coeffs = ntt_auto(cw2, field, inverse=True, pre_vec=pre)
     syn2d = coeffs[base:]                                  # [n-base, L]
     s1 = np.asarray(_lane_combo(field, syn2d, 0xE0C)).astype(np.uint64)
     s2 = np.asarray(_lane_combo(field, syn2d, 0x5EED)).astype(np.uint64)
+    return _bm_locate(s1, s2, n, base, field)
+
+
+def _bm_locate(s1, s2, n: int, base: int, field: FieldSpec):
+    """Shared BM-locator core over two independently-combined syndrome
+    sequences (decode.locate_errors and the streamed storage audit both
+    feed it). Returns positions / empty / None as locate_errors does."""
     if not s1.any() and not s2.any():
         return np.empty(0, dtype=np.int64)
     p = np.uint64(field.p)
-    s = s1 if s1.any() else s2
+    s, other = (s1, s2) if s1.any() else (s2, s1)
     # Berlekamp-Massey is O(w^2) host bigint work; grow the syndrome
     # window (a window of w locates up to w/2 errors) and accept only
-    # when the full syndrome sequence satisfies the found recurrence AND
+    # when BOTH full syndrome sequences satisfy the found recurrence
+    # (a single fixed combo can be annihilated by one corrupt row with
+    # probability ~1/p — the independent second combo catches that) AND
     # the locator splits with exactly t roots over the w^j — this caps
     # locatable corruption at _BM_MAX/2 rows, far beyond any plausible
     # silent-corruption count (mass corruption is CRC's job).
@@ -549,7 +556,7 @@ def locate_errors(codeword, k: int, field: FieldSpec, erased=None):
                 return None
             continue
         lam_u = np.array([v % field.p for v in lam], dtype=np.uint64)
-        if not _lfsr_holds(lam_u, s, p):
+        if not (_lfsr_holds(lam_u, s, p) and _lfsr_holds(lam_u, other, p)):
             if w == n - base or window == _BM_MAX:
                 return None
             continue
@@ -605,6 +612,13 @@ def correct_errors(codeword, k: int, field: FieldSpec, erased=None):
              np.empty(0, dtype=np.int64))
     all_bad = np.union1d(e_arr, pos)
     if all_bad.size == 0:
+        # nothing located: the codeword must actually BE consistent —
+        # a fixed-seed combo fluke (both combos annihilating every
+        # corrupt row) must fail loudly, not pass corruption through
+        if not bool(verify_codeword_jit(cw, field, k)):
+            raise ValueError(
+                "codeword inconsistent but no corrupt rows located "
+                "(syndrome-combination fluke or degenerate pattern)")
         return cw, pos
     fixed = decode_host_prepared(cw, all_bad, field, k=k)
     if not bool(verify_codeword_jit(fixed, field, k)):

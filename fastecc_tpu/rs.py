@@ -205,16 +205,9 @@ def update_parity(parity, i: int, old_block, new_block, field: FieldSpec,
     are the [L] (or [1, L]) field rows of data block i. Bit-exact equal
     to re-encoding the modified data (test-enforced).
     """
-    m = parity.shape[0]
-    n = 2 * m if n is None else n
-    k = n - m
-    _check_kn(k, n)
-    assert 0 <= i < k
-    delta = gf.sub(field, jnp.asarray(new_block), jnp.asarray(old_block))
-    delta = delta.reshape((1,) + delta.shape[-1:])
-    v = jnp.asarray(_update_row_consts(field.name, n, k, i))
-    contrib = mul_prepared(field, delta, v[:, None])   # [n-k, L]
-    return gf.add(field, parity, contrib)
+    old = jnp.asarray(old_block).reshape(1, -1)
+    new = jnp.asarray(new_block).reshape(1, -1)
+    return update_parity_multi(parity, (i,), old, new, field, n)
 
 
 update_parity_jit = jax.jit(update_parity,

@@ -54,20 +54,24 @@ def _word_bytes(field: FieldSpec) -> int:
 
 
 def _plan_word_chunk(field: FieldSpec, k: int, words: int,
-                     max_resident_bytes: int) -> int:
+                     max_resident_bytes: int,
+                     align: int | None = None) -> int:
     """Largest word-chunk dividing ``words`` whose packed [k, chunk]
     pipeline slots fit the residency budget (~6 live copies: input cols,
     packed chunk, parity chunk, x2 pipeline).
 
-    GF32 chunks must align to 16-word escape-bitmap groups; when the
-    block's word count itself is not a multiple of 16 no aligned split
-    exists, so the whole word axis goes as one chunk (the in-core shape —
-    correctness over the residency preference for such block sizes)."""
-    step = 16 if field.use_mont else 1
-    if words % step:
+    ``align`` (default: 16 for GF32, 1 for GF16) is the ENCODE-side
+    escape-bitmap group constraint; when the word count is not a multiple
+    of it no aligned split exists and the whole axis goes as one chunk.
+    Recover's lane-chunk planning passes align=1 — lanes have no bitmap
+    grouping, and falling back to a whole-axis chunk there would defeat
+    the residency bound entirely."""
+    if align is None:
+        align = 16 if field.use_mont else 1
+    if words % align:
         return words
-    budget_words = max(max_resident_bytes // (6 * 4 * k), step)
-    cw = step
+    budget_words = max(max_resident_bytes // (6 * 4 * k), align)
+    cw = align
     while cw * 2 <= budget_words and words % (cw * 2) == 0:
         cw *= 2
     for f in (3, 5, 7):        # words with odd factors, e.g. 24*k blocks
@@ -228,24 +232,25 @@ def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
                         DEFAULT_MAX_RESIDENT_MB << 20,
                         chunk_lanes: int | None = None,
                         repair: bool = False,
+                        check: bool = False,
                         progress=lambda s: None) -> int:
     """Streaming recover (``repair=False``: rebuild the original file) or
     repair (``repair=True``: rewrite every missing block file) from a
     coded directory, never materializing the [n, lanes] codeword in RAM.
-    Returns the number of erased blocks that were reconstructed."""
-    import jax.numpy as jnp
-
-    from . import decode as dec
+    ``check`` additionally audits the decoded codeword chunk-by-chunk and
+    locates/corrects silently corrupted survivors (errors-and-erasures,
+    syndrome combos accumulated across lane chunks) — the streamed
+    equivalent of decode_blocks(check=True). Returns the number of
+    blocks that were reconstructed."""
     from . import host, rs
 
     src_dir = pathlib.Path(src_dir)
     man = json.loads((src_dir / "manifest.json").read_text())
     from .fields import FIELDS
     field = FIELDS[man["field"].upper()]
-    n, k, size = man["n"], man["k"], man["size"]
+    n, k = man["n"], man["k"]
     bb = man.get("block_bytes", packing.BLOCK_BYTES)
     lanes = packing.field_lanes(field, bb)
-    words = packing._word_count(field, bb)
     tags = man.get("crc32c") or {}
     host.available() or host.build()
 
@@ -266,9 +271,30 @@ def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
             continue
         (d_items if pos in dpos else p_items)[pos] = f
 
+    assert len(d_items) + len(p_items) >= k, (
+        f"unrecoverable: {len(d_items) + len(p_items)} candidate "
+        f"survivors < k={k}")
     stage_path = src_dir / ".codeword.stage"
     cstage = np.memmap(stage_path, dtype=np.uint32, mode="w+",
                        shape=(n, lanes))
+    try:
+        return _recover_staged(
+            cstage, d_items, p_items, src_dir, out_path, man, field, n, k,
+            bb, lanes, tags, max_resident_bytes, chunk_lanes, repair,
+            check, progress)
+    finally:
+        del cstage
+        stage_path.unlink(missing_ok=True)
+
+
+def _recover_staged(cstage, d_items, p_items, src_dir, out_path, man,
+                    field, n, k, bb, lanes, tags, max_resident_bytes,
+                    chunk_lanes, repair, check, progress) -> int:
+    import jax.numpy as jnp
+
+    from . import decode as dec
+    from . import host, rs
+
     present = np.zeros(n, bool)
     for items, kind in ((d_items, "data"), (p_items, "parity")):
         for grp, packed, ok in _pack_rows_batched(items, field, bb, kind,
@@ -283,20 +309,48 @@ def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
     progress(f"staged {n_present}/{n} survivors; "
              f"recovering {erased.size} blocks")
 
+    cl = chunk_lanes or max(
+        1, min(lanes, _plan_word_chunk(
+            field, n, lanes, max_resident_bytes, align=1)))
+    while lanes % cl:
+        cl //= 2
     if erased.size:
-        cl = chunk_lanes or max(
-            128, min(lanes, _plan_word_chunk(
-                field, n, lanes, max_resident_bytes)))
-        while lanes % cl:
-            cl //= 2
         dec.decode_stream(cstage, erased, field, chunk_lanes=cl,
                           out=cstage)
+    untrusted = set()
+    if check:
+        # streamed audit: the survivor rows of cstage are untouched by
+        # the in-place decode and the erasure locator weights out the
+        # rows it rewrote, so locating silently corrupted survivors
+        # works directly on the post-decode staging memmap
+        pos = _streamed_locate(cstage, erased, field, n, k, lanes, cl)
+        if pos is None:
+            raise ValueError(
+                "corruption not locatable in streamed audit (beyond the "
+                "e + 2t <= n-k capacity, or degenerate pattern)")
+        if pos.size:
+            progress(f"located {pos.size} silently corrupted survivors "
+                     f"algebraically: {[int(x) for x in pos]}")
+            untrusted = {int(x) for x in pos}
+            erased = np.union1d(erased, pos).astype(erased.dtype
+                                                    if erased.size else
+                                                    pos.dtype)
+            dec.decode_stream(cstage, erased, field, chunk_lanes=cl,
+                              out=cstage)
+        # exact chunked consistency verification of the final codeword
+        for off in range(0, lanes, cl):
+            chunk = jnp.asarray(np.ascontiguousarray(
+                cstage[:, off:off + cl]))
+            if not bool(rs.verify_codeword_jit(chunk, field, k)):
+                raise ValueError(
+                    "post-recovery consistency check failed "
+                    f"(lane chunk at {off})")
     cstage.flush()
 
     wrote = int(erased.size)
+    dpos = set(rs.data_positions(n, k).tolist())
+    retagged = []
     if repair:
-        ppos_order = {int(p): i for i, p in
-                      enumerate(rs.parity_positions(n, k))}
         for pos in erased:
             row = jnp.asarray(np.asarray(cstage[pos: pos + 1]))
             if int(pos) in dpos:
@@ -308,10 +362,21 @@ def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
                     .tobytes()
                 path = src_dir / f"block_{int(pos):06d}.par"
             if tags and str(int(pos)) in tags:
-                assert host.crc32c(blob) == tags[str(int(pos))], (
-                    f"repaired block {int(pos)} fails its manifest CRC")
+                crc = host.crc32c(blob)
+                if int(pos) not in untrusted:
+                    assert crc == tags[str(int(pos))], (
+                        f"repaired block {int(pos)} fails its manifest CRC")
+                elif crc != tags[str(int(pos))]:
+                    tags[str(int(pos))] = crc
+                    retagged.append(int(pos))
             path.write_bytes(blob)
+        if retagged:
+            man["crc32c"] = tags
+            (src_dir / "manifest.json").write_text(json.dumps(man))
+            progress(f"re-tagged {len(retagged)} forged/stale manifest "
+                     f"CRCs")
     else:
+        size = man["size"]
         out_path = pathlib.Path(out_path)
         drows = rs.data_positions(n, k)
         with open(out_path, "wb") as fh:
@@ -326,6 +391,35 @@ def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
                 take = min(remaining, raw.size)
                 fh.write(raw[:take].tobytes())
                 remaining -= take
-    del cstage
-    stage_path.unlink()
     return wrote
+
+
+def _streamed_locate(cstage, erased, field, n, k, lanes, cl):
+    """Accumulate two independent syndrome lane-combos across lane
+    chunks of the staging memmap (erased rows weighted out by the
+    erasure locator) and run the shared BM locator core. Returns what
+    decode.locate_errors returns."""
+    import jax.numpy as jnp
+
+    from . import decode as dec
+    from .ntt import ntt_auto, prepare_consts
+
+    e = int(erased.size) if hasattr(erased, "size") else len(erased)
+    base = k + e
+    if base >= n:
+        return None
+    pre = None
+    if e:
+        l_eval, _ = dec.locator_host(np.asarray(erased), n, field)
+        pre = jnp.asarray(np.asarray(prepare_consts(field, l_eval)))
+    p = np.uint64(field.p)
+    s1 = np.zeros(n - base, dtype=np.uint64)
+    s2 = np.zeros(n - base, dtype=np.uint64)
+    for i, off in enumerate(range(0, lanes, cl)):
+        x = jnp.asarray(np.ascontiguousarray(cstage[:, off:off + cl]))
+        syn = ntt_auto(x, field, inverse=True, pre_vec=pre)[base:]
+        c1 = np.asarray(dec._lane_combo(field, syn, 0xE0C + 7 * i))
+        c2 = np.asarray(dec._lane_combo(field, syn, 0x5EED + 13 * i))
+        s1 = (s1 + c1.astype(np.uint64)) % p
+        s2 = (s2 + c2.astype(np.uint64)) % p
+    return dec._bm_locate(s1, s2, n, base, field)

@@ -183,3 +183,47 @@ def test_stream_encode_empty_and_tiny_files(tmp_path):
         dst = tmp_path / f"{name}.back"
         storage.recover_file_stream(out, dst)
         assert dst.read_bytes() == src.read_bytes()
+
+
+def test_stream_recover_check_corrects_lying_survivor(tmp_path):
+    """Streamed recover with check=True must locate and correct a
+    silently corrupted survivor (forged CRC) on top of missing files."""
+    import json as js
+
+    from fastecc_tpu import host
+    src = _make_file(tmp_path, 9 * 4096 + 11, name="sc.bin")
+    out = tmp_path / "coded"
+    storage.encode_file_stream(src, out, GF32, chunk_words=256)
+    man = js.loads((out / "manifest.json").read_text())
+    # drop two data files, silently corrupt one parity (forge its tag)
+    for f in sorted(out.glob("block_*.dat"))[:2]:
+        f.unlink()
+    victim = sorted(out.glob("block_*.par"))[1]
+    vgood = victim.read_bytes()
+    blob = bytearray(vgood)
+    blob[4321] ^= 0x3C            # corrupt a later lane
+    victim.write_bytes(bytes(blob))
+    vpos = int(victim.stem.split("_")[1])
+    man["crc32c"][str(vpos)] = int(host.crc32c(bytes(blob)))
+    (out / "manifest.json").write_text(js.dumps(man))
+
+    dst = tmp_path / "sc.back"
+    storage.recover_file_stream(out, dst, chunk_lanes=64, check=True)
+    assert dst.read_bytes() == src.read_bytes()
+    # streamed repair with the same corruption: fixes files + re-tags
+    storage.recover_file_stream(out, None, chunk_lanes=64, repair=True,
+                                check=True)
+    assert victim.read_bytes() == vgood
+    assert cli.main(["check", str(out)]) == 0
+
+
+def test_stream_recover_stage_cleanup_on_unrecoverable(tmp_path):
+    """The staging memmap must not be left behind when recovery fails."""
+    src = _make_file(tmp_path, 4 * 4096, name="u.bin")
+    out = tmp_path / "coded"
+    storage.encode_file_stream(src, out, GF32, chunk_words=512)
+    for f in list(out.glob("block_*.dat")) + list(out.glob("block_*.par")):
+        f.unlink()                 # drop everything
+    with pytest.raises(AssertionError, match="unrecoverable"):
+        storage.recover_file_stream(out, tmp_path / "x.bin")
+    assert not (out / ".codeword.stage").exists()
