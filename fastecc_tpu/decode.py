@@ -470,18 +470,13 @@ def _berlekamp_massey(s: list[int], p: int) -> list[int]:
     return c[: L + 1]
 
 
-def _lane_combo(field: FieldSpec, x, seed: int):
-    """Random linear combination of the lane axis of [m, L] -> [m], all
-    on device: elementwise multiply by random prepared coefficients, then
-    a log-depth modular pairwise-add reduction (a plain sum would
-    overflow u32 and a host pull of [n-k, L] could be gigabytes)."""
+def _lane_combo(field: FieldSpec, x, combo_prep):
+    """Linear combination of the lane axis of [m, L] -> [m] with traced
+    prepared coefficients: elementwise multiply, then a log-depth modular
+    pairwise-add reduction (a plain sum would overflow u32 and a host
+    pull of [n-k, L] could be gigabytes)."""
     m, lanes = x.shape
-    rng = np.random.default_rng(seed)
-    combo = rng.integers(1, field.p, size=lanes, dtype=np.uint64).astype(
-        np.uint32)
-    y = mul_prepared(field, x,
-                     jnp.asarray(np.asarray(
-                         prepare_consts(field, combo)))[None, :])
+    y = mul_prepared(field, x, combo_prep[None, :])
     lp = 1 << (lanes - 1).bit_length()
     if lp != lanes:
         y = jnp.concatenate(
@@ -490,6 +485,28 @@ def _lane_combo(field: FieldSpec, x, seed: int):
         y = gf.add(field, y[:, : lp // 2], y[:, lp // 2: lp])
         lp //= 2
     return y[:, 0]
+
+
+def _rand_combo(field: FieldSpec, lanes: int, seed: int):
+    """Prepared random nonzero lane coefficients for :func:`_lane_combo`."""
+    rng = np.random.default_rng(seed)
+    c = rng.integers(1, field.p, size=lanes, dtype=np.uint64).astype(
+        np.uint32)
+    return jnp.asarray(np.asarray(prepare_consts(field, c)))
+
+
+def _syndrome_combos(cw2, pre, c1, c2, field: FieldSpec, base: int):
+    """[n, L] codeword -> two independently-combined syndrome sequences
+    [n-base]. ONE jitted program — eager execution of the iNTT plus the
+    log-depth reductions on the tunneled chip dispatches dozens of ops
+    whose intermediates pile up to an HBM OOM at n=2^20."""
+    coeffs = ntt_auto(cw2, field, inverse=True, pre_vec=pre)
+    syn = coeffs[base:]
+    return (_lane_combo(field, syn, c1), _lane_combo(field, syn, c2))
+
+
+_syndrome_combos_jit = jax.jit(
+    _syndrome_combos, static_argnames=("field", "base"))
 
 
 def locate_errors(codeword, k: int, field: FieldSpec, erased=None):
@@ -524,10 +541,11 @@ def locate_errors(codeword, k: int, field: FieldSpec, erased=None):
             return None
         l_eval, _ = locator_host(erased, n, field)
         pre = jnp.asarray(np.asarray(prepare_consts(field, l_eval)))
-    coeffs = ntt_auto(cw2, field, inverse=True, pre_vec=pre)
-    syn2d = coeffs[base:]                                  # [n-base, L]
-    s1 = np.asarray(_lane_combo(field, syn2d, 0xE0C)).astype(np.uint64)
-    s2 = np.asarray(_lane_combo(field, syn2d, 0x5EED)).astype(np.uint64)
+    c1 = _rand_combo(field, lanes, 0xE0C)
+    c2 = _rand_combo(field, lanes, 0x5EED)
+    j1, j2 = _syndrome_combos_jit(cw2, pre, c1, c2, field, base)
+    s1 = np.asarray(j1).astype(np.uint64)
+    s2 = np.asarray(j2).astype(np.uint64)
     return _bm_locate(s1, s2, n, base, field)
 
 
@@ -562,8 +580,8 @@ def _bm_locate(s1, s2, n: int, base: int, field: FieldSpec):
             continue
         pad = np.zeros(n, dtype=np.uint32)
         pad[: t + 1] = lam_u.astype(np.uint32)
-        evals = np.asarray(
-            ntt_auto(jnp.asarray(pad[:, None]), field))[:, 0]
+        evals = np.asarray(_eval_poly_jit(jnp.asarray(pad[:, None]),
+                                          field))[:, 0]
         pos = np.nonzero(evals == 0)[0]
         if pos.size == t:
             return np.sort(pos)
@@ -573,6 +591,9 @@ def _bm_locate(s1, s2, n: int, base: int, field: FieldSpec):
 
 
 _BM_MAX = 8192     # syndrome-window cap: locates up to 4096 corrupt rows
+
+_eval_poly_jit = jax.jit(
+    lambda pad, field: ntt_auto(pad, field), static_argnames=("field",))
 
 
 def _lfsr_holds(lam_u: np.ndarray, s: np.ndarray, p: np.uint64) -> bool:

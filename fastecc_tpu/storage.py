@@ -402,7 +402,7 @@ def _streamed_locate(cstage, erased, field, n, k, lanes, cl):
     import jax.numpy as jnp
 
     from . import decode as dec
-    from .ntt import ntt_auto, prepare_consts
+    from .ntt import prepare_consts
 
     e = int(erased.size) if hasattr(erased, "size") else len(erased)
     base = k + e
@@ -417,9 +417,9 @@ def _streamed_locate(cstage, erased, field, n, k, lanes, cl):
     s2 = np.zeros(n - base, dtype=np.uint64)
     for i, off in enumerate(range(0, lanes, cl)):
         x = jnp.asarray(np.ascontiguousarray(cstage[:, off:off + cl]))
-        syn = ntt_auto(x, field, inverse=True, pre_vec=pre)[base:]
-        c1 = np.asarray(dec._lane_combo(field, syn, 0xE0C + 7 * i))
-        c2 = np.asarray(dec._lane_combo(field, syn, 0x5EED + 13 * i))
-        s1 = (s1 + c1.astype(np.uint64)) % p
-        s2 = (s2 + c2.astype(np.uint64)) % p
+        j1, j2 = dec._syndrome_combos_jit(
+            x, pre, dec._rand_combo(field, cl, 0xE0C + 7 * i),
+            dec._rand_combo(field, cl, 0x5EED + 13 * i), field, base)
+        s1 = (s1 + np.asarray(j1).astype(np.uint64)) % p
+        s2 = (s2 + np.asarray(j2).astype(np.uint64)) % p
     return dec._bm_locate(s1, s2, n, base, field)
