@@ -279,16 +279,16 @@ def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
                        shape=(n, lanes))
     try:
         return _recover_staged(
-            cstage, d_items, p_items, src_dir, out_path, man, field, n, k,
-            bb, lanes, tags, max_resident_bytes, chunk_lanes, repair,
-            check, progress)
+            cstage, d_items, p_items, dpos, src_dir, out_path, man, field,
+            n, k, bb, lanes, tags, max_resident_bytes, chunk_lanes,
+            repair, check, progress)
     finally:
         del cstage
         stage_path.unlink(missing_ok=True)
 
 
-def _recover_staged(cstage, d_items, p_items, src_dir, out_path, man,
-                    field, n, k, bb, lanes, tags, max_resident_bytes,
+def _recover_staged(cstage, d_items, p_items, dpos, src_dir, out_path,
+                    man, field, n, k, bb, lanes, tags, max_resident_bytes,
                     chunk_lanes, repair, check, progress) -> int:
     import jax.numpy as jnp
 
@@ -319,16 +319,29 @@ def _recover_staged(cstage, d_items, p_items, src_dir, out_path, man,
                           out=cstage)
     untrusted = set()
     if check:
-        # streamed audit: the survivor rows of cstage are untouched by
-        # the in-place decode and the erasure locator weights out the
-        # rows it rewrote, so locating silently corrupted survivors
-        # works directly on the post-decode staging memmap
-        pos = _streamed_locate(cstage, erased, field, n, k, lanes, cl)
-        if pos is None:
-            raise ValueError(
-                "corruption not locatable in streamed audit (beyond the "
-                "e + 2t <= n-k capacity, or degenerate pattern)")
-        if pos.size:
+        def consistent():
+            # exact chunked verification of the decoded codeword
+            for off in range(0, lanes, cl):
+                chunk = jnp.asarray(np.ascontiguousarray(
+                    cstage[:, off:off + cl]))
+                if not bool(rs.verify_codeword_jit(chunk, field, k)):
+                    return False
+            return True
+
+        if not consistent():
+            # a survivor lied. The survivor rows of cstage are untouched
+            # by the in-place decode and the erasure locator weights out
+            # the rows it rewrote, so locating works directly on the
+            # post-decode staging memmap. (At e == n-k there is no
+            # residual redundancy — the decode interpolates the
+            # survivors exactly and consistent() holds by construction,
+            # so this branch implies k + e < n.)
+            pos = _streamed_locate(cstage, erased, field, n, k, lanes, cl)
+            if pos is None or pos.size == 0:
+                raise ValueError(
+                    "codeword inconsistent but corruption not locatable "
+                    "(beyond the e + 2t <= n-k capacity, or degenerate "
+                    "pattern)")
             progress(f"located {pos.size} silently corrupted survivors "
                      f"algebraically: {[int(x) for x in pos]}")
             untrusted = {int(x) for x in pos}
@@ -337,18 +350,12 @@ def _recover_staged(cstage, d_items, p_items, src_dir, out_path, man,
                                                     pos.dtype)
             dec.decode_stream(cstage, erased, field, chunk_lanes=cl,
                               out=cstage)
-        # exact chunked consistency verification of the final codeword
-        for off in range(0, lanes, cl):
-            chunk = jnp.asarray(np.ascontiguousarray(
-                cstage[:, off:off + cl]))
-            if not bool(rs.verify_codeword_jit(chunk, field, k)):
-                raise ValueError(
-                    "post-recovery consistency check failed "
-                    f"(lane chunk at {off})")
+            if not consistent():
+                raise ValueError("post-correction consistency check "
+                                 "failed in streamed audit")
     cstage.flush()
 
     wrote = int(erased.size)
-    dpos = set(rs.data_positions(n, k).tolist())
     retagged = []
     if repair:
         for pos in erased:

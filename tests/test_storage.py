@@ -218,12 +218,42 @@ def test_stream_recover_check_corrects_lying_survivor(tmp_path):
 
 
 def test_stream_recover_stage_cleanup_on_unrecoverable(tmp_path):
-    """The staging memmap must not be left behind when recovery fails."""
+    """The staging memmap must not be left behind when recovery fails
+    AFTER the stage file exists (candidates pass the stat scan but fail
+    their CRC during staging, dropping the valid count below k)."""
     src = _make_file(tmp_path, 4 * 4096, name="u.bin")
     out = tmp_path / "coded"
     storage.encode_file_stream(src, out, GF32, chunk_words=512)
+    # corrupt EVERY block file in place (sizes intact): the stat-only
+    # candidate scan accepts them, the batched CRC check rejects them
     for f in list(out.glob("block_*.dat")) + list(out.glob("block_*.par")):
-        f.unlink()                 # drop everything
-    with pytest.raises(AssertionError, match="unrecoverable"):
+        blob = bytearray(f.read_bytes())
+        blob[0] ^= 0xFF
+        f.write_bytes(bytes(blob))
+    with pytest.raises(AssertionError, match="valid survivors"):
         storage.recover_file_stream(out, tmp_path / "x.bin")
     assert not (out / ".codeword.stage").exists()
+    # and the pre-stage path still fails cleanly when files are gone
+    for f in list(out.glob("block_*.dat")) + list(out.glob("block_*.par")):
+        f.unlink()
+    with pytest.raises(AssertionError, match="unrecoverable"):
+        storage.recover_file_stream(out, tmp_path / "y.bin")
+    assert not (out / ".codeword.stage").exists()
+
+
+def test_stream_recover_check_at_max_loss(tmp_path):
+    """check=True must still recover at exactly n-k losses (no residual
+    redundancy: the audit passes by construction, locate is skipped)."""
+    src = _make_file(tmp_path, 6 * 4096 + 5, name="mx.bin")
+    out = tmp_path / "coded"
+    storage.encode_file_stream(src, out, GF32, chunk_words=256)
+    for f in sorted(out.glob("block_*.par")):
+        f.unlink()                 # drop ALL parity: e == n - k
+    dst = tmp_path / "mx.back"
+    storage.recover_file_stream(out, dst, chunk_lanes=64, check=True)
+    assert dst.read_bytes() == src.read_bytes()
+    # streamed repair (check forced) must also handle max loss
+    storage.recover_file_stream(out, None, chunk_lanes=64, repair=True,
+                                check=True)
+    from fastecc_tpu import cli
+    assert cli.main(["check", str(out)]) == 0
