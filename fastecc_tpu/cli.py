@@ -7,12 +7,19 @@ adds what a real deployment needs: file-level encode/recover.
 
     python -m fastecc_tpu.cli verify   --lg-n 10            # fast vs slow
     python -m fastecc_tpu.cli roundtrip --lg-n 16           # intt(ntt(x))==x
-    python -m fastecc_tpu.cli gf-bench                      # mulmod ops/s
+    python -m fastecc_tpu.cli gf-bench --variant all        # measured peaks
     python -m fastecc_tpu.cli ntt-bench --lg-n 20           # NTT GB/s
     python -m fastecc_tpu.cli rs-bench  --lg-k 19           # encode GB/s
+    python -m fastecc_tpu.cli decode-bench --lg-n 13 --lg-e 12   # config :10
     python -m fastecc_tpu.cli encode   FILE -o DIR          # write parity
-    python -m fastecc_tpu.cli recover  DIR  -o FILE         # from survivors
+    python -m fastecc_tpu.cli recover  DIR  -o FILE [--check]  # survivors
+    python -m fastecc_tpu.cli check    DIR                  # CRC + algebra
+    python -m fastecc_tpu.cli repair   DIR                  # re-replicate
     python -m fastecc_tpu.cli scaling  --devices 8          # weak scaling
+
+encode/recover/repair stream through np.memmap beyond --max-resident MB;
+check/repair locate silently corrupted blocks algebraically (BM
+syndromes) and repair re-tags forged manifest CRCs.
 
 File format: `encode` splits FILE into 4KB data blocks (zero-padded tail,
 original size recorded in manifest.json), writes the parity blocks and the
