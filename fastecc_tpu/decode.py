@@ -234,7 +234,7 @@ def locator_host(erased_idx: np.ndarray, n: int, field: FieldSpec):
 
 
 def decode_prepared(codeword, mask, l_eval_prep, lp_inv_prep,
-                    field: FieldSpec):
+                    field: FieldSpec, merge: bool = True):
     """Device half of the host-prepared decode: exactly two [n, lanes]
     transforms, nothing else.
 
@@ -252,17 +252,27 @@ def decode_prepared(codeword, mask, l_eval_prep, lp_inv_prep,
         separate full-array HBM passes.
     ``mask`` [n] is 1 at erased rows; the tables come from
     :func:`prepare_decode_tables`.
+
+    ``merge=False`` skips the erased-row merge and returns the RAW
+    Forney product — valid ONLY at erased rows, garbage elsewhere. The
+    merge re-reads the codeword in the epilogue (measured ~9% of decode
+    time at n=2^20); pipelines that consume only the recovered rows
+    (e.g. a re-replication service scattering repaired blocks) can skip
+    it and merge from their own survivor copies.
     """
     n = codeword.shape[0]
     h_coeffs = ntt_auto(codeword, field, inverse=True,
                         pre_vec=l_eval_prep)
-    return ntt_auto(h_coeffs, field,
-                    pre_vec=jnp.asarray(_xderiv_consts(field.name, n)),
+    dx = jnp.asarray(_xderiv_consts(field.name, n))
+    if not merge:
+        return ntt_auto(h_coeffs, field, pre_vec=dx, post_vec=lp_inv_prep)
+    return ntt_auto(h_coeffs, field, pre_vec=dx,
                     post_vec=lp_inv_prep, sel_mask=mask,
                     sel_orig=codeword)
 
 
-decode_prepared_jit = jax.jit(decode_prepared, static_argnames=("field",))
+decode_prepared_jit = jax.jit(decode_prepared,
+                              static_argnames=("field", "merge"))
 
 
 def _decode_tables_device(erased_idx, n: int, field: FieldSpec):

@@ -263,8 +263,19 @@ def _row_kernel_post_sel(tw_ref, w3_ref, pvec_ref, mask_ref, orig_ref,
     y = _ntt_stages(y_ref[:], field, tw_ref[:], r,
                     w3_ref[:] if radix == 4 else None)
     y = mul_prepared(field, y, pvec_ref[0][:, :, None])
-    keep = mask_ref[0][:, :, None] != 0
-    out_ref[:] = jnp.where(keep, y, orig_ref[:])
+    if _SEL_BITWISE:
+        # bitwise row select: m is all-ones where mask != 0
+        m = jnp.uint32(0) - (mask_ref[0][:, :, None] != 0).astype(
+            jnp.uint32)
+        out_ref[:] = (y & m) | (orig_ref[:] & ~m)
+    else:
+        keep = mask_ref[0][:, :, None] != 0
+        out_ref[:] = jnp.where(keep, y, orig_ref[:])
+
+
+# A/B flag for the pass-B row select lowering (bit-exact either way);
+# measured equivalent on v5e — kept for future hardware re-checks.
+_SEL_BITWISE = False
 
 
 def _supported(n: int, lanes: int) -> bool:

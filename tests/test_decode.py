@@ -370,3 +370,21 @@ def test_errors_and_erasures_beyond_capacity():
     bad[errs] = (bad[errs].astype(np.uint64) + 9) % GF32.p
     with pytest.raises(ValueError):
         dec.correct_errors(jnp.asarray(bad), k, GF32, erased=erased)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_decode_prepared_unmerged_rows(field):
+    """merge=False must equal the merged decode at every ERASED row."""
+    n, k, lanes = 128, 64, 4
+    data = rand_field(field, (k, lanes))
+    cw = np.asarray(rs.encode(jnp.asarray(data), field, n))
+    erased = np.sort(RNG.choice(n, size=40, replace=False))
+    garbled = cw.copy()
+    garbled[erased] = rand_field(field, (40, lanes))
+    targs = dec.prepare_decode_tables(erased, n, field)
+    merged = np.asarray(dec.decode_prepared_jit(
+        jnp.asarray(garbled), *targs, field))
+    raw = np.asarray(dec.decode_prepared_jit(
+        jnp.asarray(garbled), *targs, field, merge=False))
+    np.testing.assert_array_equal(raw[erased], merged[erased])
+    np.testing.assert_array_equal(merged, cw)
