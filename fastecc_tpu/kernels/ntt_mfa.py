@@ -278,11 +278,20 @@ def _row_kernel_post_sel(tw_ref, w3_ref, pvec_ref, mask_ref, orig_ref,
 _SEL_BITWISE = False
 
 
-def _supported(n: int, lanes: int) -> bool:
+def _default_c(n: int) -> int:
+    """Measured-best C x R split (v5e sweep, docs/DESIGN.md): a DEEPER
+    pass-A transform wins — c = 2^((t+3)/2) capped at 2^11 (VMEM: c=4096
+    tiles fail to compile) and at n/8 (pass B needs R >= TR). At n=2^20
+    this is (2048, 512): 19% faster per transform than the balanced
+    (1024, 1024) split; +6% at n=2^19; neutral for small n."""
     t = _log2(n)
-    c = 1 << ((t + 1) // 2)
-    r = n >> ((t + 1) // 2)
-    return r >= _TR and lanes % _TL == 0 and c >= 2
+    return max(2, min(1 << ((t + 3) // 2), 1 << 11, n >> 3))
+
+
+def _supported(n: int, lanes: int) -> bool:
+    c = _default_c(n)
+    r = n // c
+    return r >= _TR and lanes % _TL == 0 and c >= _TR
 
 
 @functools.lru_cache(maxsize=None)
@@ -300,7 +309,8 @@ def _pre_mul_tables(field_name: str, g_pre: int, c: int, r: int, tr: int):
 def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
                scale: bool = True, pre_seed: int | None = None,
                interpret: bool = False, radix: int = 4, pre_vec=None,
-               post_vec=None, sel_mask=None, sel_orig=None):
+               post_vec=None, sel_mask=None, sel_orig=None,
+               c_dim: int | None = None):
     """Two-pass fused NTT along axis 0 of [N, L]; bit-exact vs ntt.ntt.
 
     ``pre_seed=g`` fuses an input-side multiply x[m] *= g^m into pass A
@@ -326,11 +336,11 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
     assert sel_mask is None or post_vec is not None, (
         "the fused select requires post_vec")
     n, lanes = x.shape
-    t = _log2(n)
-    c = 1 << ((t + 1) // 2)
+    c = c_dim or _default_c(n)
     r = n // c
-    assert _supported(n, lanes), (
-        f"ntt_pallas needs R>=8 and L%128==0 (N={n} -> R={r}, L={lanes})")
+    assert c * r == n and r >= _TR and c >= _TR and lanes % _TL == 0, (
+        f"ntt_pallas needs R>={_TR}, C>={_TR} and L%{_TL}==0 "
+        f"(N={n} -> C={c}, R={r}, L={lanes})")
 
     tw_c = jnp.asarray(_packed_stage_twiddles(field.name, c, inverse))[:, None]
     tw_r = jnp.asarray(_packed_stage_twiddles(field.name, r, inverse))[:, None]
@@ -444,4 +454,4 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
 ntt_pallas_jit = jax.jit(
     ntt_pallas,
     static_argnames=("field", "inverse", "scale", "pre_seed", "interpret",
-                     "radix"))  # pre_vec is traced, not static
+                     "radix", "c_dim"))  # pre_vec is traced, not static

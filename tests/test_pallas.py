@@ -151,3 +151,15 @@ def test_microbench_chain_kernels_interpret():
             y = step(y, z)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(y),
                                       err_msg=variant)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("c_dim", [None, 32, 64, 128])
+def test_pallas_split_choices_bit_exact(field, c_dim):
+    """Every legal C x R split (incl. the tuned default) must be
+    bit-exact vs the staged transform."""
+    n = 1 << 10
+    x = jnp.asarray(rand_field(field, (n, 128)))
+    want = np.asarray(ntt(x, field))
+    got = np.asarray(ntt_pallas(x, field, interpret=True, c_dim=c_dim))
+    np.testing.assert_array_equal(got, want)
