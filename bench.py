@@ -59,14 +59,33 @@ def run(lg_k: int, lanes: int, iters: int, lane_chunks: int):
     return secs, marginal, total_bytes, k, n
 
 
+_DISPATCH_SECS = None
+
+
+def _dispatch_overhead() -> float:
+    """Measured per-call dispatch floor: a tiny jitted op timed exactly
+    like every metric call. On the tunneled axon chip this is ~40-55 ms
+    (the spread that contaminates chain differences); on a local backend
+    it is microseconds, so genuinely fast marginals are not suppressed."""
+    global _DISPATCH_SECS
+    if _DISPATCH_SECS is None:
+        tiny = jnp.zeros((8, 128), jnp.uint32)
+        fn = jax.jit(lambda v: v + jnp.uint32(1))
+        _DISPATCH_SECS = time_fn(fn, tiny, iters=5)
+    return _DISPATCH_SECS
+
+
 def _sane_marginal(t2: float, t1: float):
-    """Chain-difference guard: dispatch-time variance on the tunneled
-    chip (~40-55 ms spread) can make t2 - t1 collapse toward zero or
-    negative, which would print astronomically inflated GB/s. A real
-    marginal is a substantial fraction of the single call; anything
-    under 20% of it is noise -> None (matching other failed metrics)."""
+    """Chain-difference guard: dispatch-time variance can make t2 - t1
+    collapse toward zero or negative, which would print astronomically
+    inflated GB/s. Gate on the MEASURED dispatch floor (a null-kernel
+    call) rather than a fixed fraction of the single call — a fixed
+    fraction would also discard real (fast) marginals on a
+    low-dispatch-latency backend (round-2 advisor finding). A marginal
+    below the floor is indistinguishable from dispatch noise -> None
+    (matching other failed metrics)."""
     m = t2 - t1
-    return m if m > 0.2 * t1 else None
+    return m if m > _dispatch_overhead() else None
 
 
 def run_decode_metric(iters: int):

@@ -381,8 +381,16 @@ def cmd_check(args):
     """Audit a coded directory: CRC every block file, then (if complete)
     verify the algebraic codeword property in one inverse transform.
 
-    Exit 0 = healthy; 1 = degraded but recoverable (>= k survivors);
-    2 = unrecoverable.
+    Exit codes: 0 = healthy; 1 = degraded but recoverable (>= k
+    survivors — including silently-corrupted blocks that were LOCATED
+    algebraically, status "corrupt-located"); 2 = unrecoverable (< k
+    survivors); 3 = inconsistent but not locatable (corruption beyond
+    the e + 2t <= n-k capacity or a degenerate pattern — the most
+    alarming state: something lied and repair cannot fix it).
+
+    Directories whose codeword exceeds --max-resident stream through a
+    memmap stage + lane-chunked verification (storage.check_file_stream)
+    instead of loading every survivor blob into RAM.
     """
     import jax.numpy as jnp
 
@@ -393,6 +401,12 @@ def cmd_check(args):
     field = _field(man["field"])
     n, k = man["n"], man["k"]
     bb = man.get("block_bytes", 4096)
+    if _codeword_bytes(man) > args.max_resident << 20:
+        from . import storage
+        report, rc = storage.check_file_stream(
+            src, max_resident_bytes=args.max_resident << 20)
+        print(json.dumps(report))
+        return rc
     survivors, flagged, crc_verified = _load_survivors(src, man, quiet=True)
     missing = sorted(set(range(n)) - set(survivors))
     consistent = None
@@ -672,6 +686,9 @@ def main(argv=None):
     p = sub.add_parser("check", help="audit a coded directory (CRC + "
                                      "algebraic consistency)")
     p.add_argument("dir")
+    p.add_argument("--max-resident", type=int, default=2048, metavar="MB",
+                   help="stream codewords larger than this (memmap "
+                        "staging + lane-chunk verification)")
     p.set_defaults(fn=cmd_check)
 
     p = sub.add_parser("repair", help="regenerate missing block files "

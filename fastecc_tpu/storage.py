@@ -69,6 +69,21 @@ def _plan_word_chunk(field: FieldSpec, k: int, words: int,
     if align is None:
         align = 16 if field.use_mont else 1
     if words % align:
+        # no aligned split exists: the whole axis goes as one chunk. That
+        # can exceed the residency budget arbitrarily for odd block
+        # sizes — say so loudly instead of silently voiding the bound
+        # (round-2 advisor finding).
+        whole_bytes = 6 * 4 * k * words
+        if whole_bytes > max_resident_bytes:
+            import warnings
+            warnings.warn(
+                f"block size gives {words} words per block, not a "
+                f"multiple of the escape-bitmap group ({align}); no "
+                f"aligned chunking exists, so the streaming working set "
+                f"(~{whole_bytes >> 20} MB) exceeds max_resident "
+                f"({max_resident_bytes >> 20} MB). Use a block size "
+                f"whose word count is a multiple of {align} to restore "
+                f"the residency bound.", ResourceWarning, stacklevel=3)
         return words
     budget_words = max(max_resident_bytes // (6 * 4 * k), align)
     cw = align
@@ -401,11 +416,129 @@ def _recover_staged(cstage, d_items, p_items, dpos, src_dir, out_path,
     return wrote
 
 
-def _streamed_locate(cstage, erased, field, n, k, lanes, cl):
+def check_file_stream(src_dir, max_resident_bytes: int =
+                      DEFAULT_MAX_RESIDENT_MB << 20,
+                      chunk_lanes: int | None = None):
+    """Streamed audit of a coded directory (cli ``check``'s out-of-core
+    path): CRC every block file, then — when all n blocks are present —
+    verify the algebraic codeword property chunk-by-chunk and locate
+    silently corrupted blocks, never materializing the [n, lanes]
+    codeword in host RAM. The in-core check loads every survivor blob
+    into one dict, which on a larger-than-RAM directory defeats the
+    residency bound the rest of this module maintains (round-2 advisor
+    finding).
+
+    Returns (report, rc) where ``report`` is the same JSON-able dict the
+    in-core cli check prints (plus ``"streamed": True``) and ``rc`` is
+    its exit code: 0 healthy, 1 degraded-but-recoverable (including
+    located corruption), 2 unrecoverable, 3 inconsistent-but-unlocatable.
+    """
+    from . import host, rs
+
+    src_dir = pathlib.Path(src_dir)
+    man = json.loads((src_dir / "manifest.json").read_text())
+    from .fields import FIELDS
+    field = FIELDS[man["field"].upper()]
+    n, k = man["n"], man["k"]
+    bb = man.get("block_bytes", packing.BLOCK_BYTES)
+    lanes = packing.field_lanes(field, bb)
+    tags = man.get("crc32c") or {}
+    if tags:
+        host.available() or host.build()
+
+    dpos = set(rs.data_positions(n, k).tolist())
+    flagged = []
+    d_items, p_items = {}, {}
+    for f in sorted(src_dir.glob("block_*.dat")) + \
+            sorted(src_dir.glob("block_*.par")):
+        try:
+            pos = int(f.stem.split("_")[1])
+        except (IndexError, ValueError):
+            continue
+        if not 0 <= pos < n:
+            flagged.append((pos, "position out of range"))
+            continue
+        want = bb if pos in dpos else packing.parity_bytes(field, bb)
+        got = f.stat().st_size
+        if got != want:
+            flagged.append((pos, f"bad size {got} != {want}"))
+            continue
+        (d_items if pos in dpos else p_items)[pos] = f
+
+    stage_path = src_dir / ".check.stage"
+    cstage = np.memmap(stage_path, dtype=np.uint32, mode="w+",
+                       shape=(n, lanes))
+    try:
+        present = np.zeros(n, bool)
+        for items, kind in ((d_items, "data"), (p_items, "parity")):
+            for grp, packed, ok in _pack_rows_batched(items, field, bb,
+                                                      kind, tags=tags):
+                idx = np.asarray(grp)[ok]
+                cstage[idx] = packed[ok]
+                present[idx] = True
+                for pos, good in zip(grp, ok):
+                    if not good:
+                        flagged.append((pos, "CRC mismatch"))
+        n_present = int(present.sum())
+        missing = [int(x) for x in np.nonzero(~present)[0]]
+        consistent = None
+        located = None
+        if not missing:
+            cl = chunk_lanes or max(1, min(lanes, _plan_word_chunk(
+                field, n, lanes, max_resident_bytes, align=1)))
+            while lanes % cl:
+                cl //= 2
+            import jax.numpy as jnp
+            consistent = True
+            for off in range(0, lanes, cl):
+                chunk = jnp.asarray(np.ascontiguousarray(
+                    cstage[:, off:off + cl]))
+                if not bool(rs.verify_codeword_jit(chunk, field, k)):
+                    consistent = False
+                    break
+            if not consistent:
+                pos = _streamed_locate(cstage, np.empty(0, np.int64),
+                                       field, n, k, lanes, cl)
+                if pos is not None and pos.size:
+                    located = [int(x) for x in pos]
+    finally:
+        del cstage
+        stage_path.unlink(missing_ok=True)
+
+    if consistent is False and located:
+        status, recoverable, rc = "corrupt-located", True, 1
+    elif consistent is False:
+        status, recoverable, rc = "inconsistent", None, 3
+    elif not missing:
+        status, recoverable, rc = "healthy", True, 0
+    elif n_present >= k:
+        status, recoverable, rc = "degraded", True, 1
+    else:
+        status, recoverable, rc = "unrecoverable", False, 2
+    report = {
+        "n": n, "k": k, "present": n_present,
+        "flagged": [[p, why] for p, why in flagged],
+        "missing_or_corrupt": missing,
+        "located_corrupt": located,
+        "crc_verified": bool(tags),
+        "codeword_consistent": consistent,
+        "recoverable": recoverable,
+        "status": status, "streamed": True}
+    return report, rc
+
+
+def _streamed_locate(cstage, erased, field, n, k, lanes, cl,
+                     entropy=None, retries: int = 1):
     """Accumulate two independent syndrome lane-combos across lane
     chunks of the staging memmap (erased rows weighted out by the
     erasure locator) and run the shared BM locator core. Returns what
-    decode.locate_errors returns."""
+    decode.locate_errors returns.
+
+    Combo coefficients come from OS entropy (``entropy=None``) — never
+    fixed seeds, same adversarial-annihilation reasoning as
+    decode._rand_combo. An unlocatable result retries ``retries`` times
+    with fresh combos; each retry re-streams every lane chunk, so the
+    streamed path retries less eagerly than the in-core one."""
     import jax.numpy as jnp
 
     from . import decode as dec
@@ -420,13 +553,18 @@ def _streamed_locate(cstage, erased, field, n, k, lanes, cl):
         l_eval, _ = dec.locator_host(np.asarray(erased), n, field)
         pre = jnp.asarray(np.asarray(prepare_consts(field, l_eval)))
     p = np.uint64(field.p)
-    s1 = np.zeros(n - base, dtype=np.uint64)
-    s2 = np.zeros(n - base, dtype=np.uint64)
-    for i, off in enumerate(range(0, lanes, cl)):
-        x = jnp.asarray(np.ascontiguousarray(cstage[:, off:off + cl]))
-        j1, j2 = dec._syndrome_combos_jit(
-            x, pre, dec._rand_combo(field, cl, 0xE0C + 7 * i),
-            dec._rand_combo(field, cl, 0x5EED + 13 * i), field, base)
-        s1 = (s1 + np.asarray(j1).astype(np.uint64)) % p
-        s2 = (s2 + np.asarray(j2).astype(np.uint64)) % p
-    return dec._bm_locate(s1, s2, n, base, field)
+    rng = np.random.default_rng(entropy)
+    for _attempt in range(retries + 1):
+        s1 = np.zeros(n - base, dtype=np.uint64)
+        s2 = np.zeros(n - base, dtype=np.uint64)
+        for off in range(0, lanes, cl):
+            x = jnp.asarray(np.ascontiguousarray(cstage[:, off:off + cl]))
+            j1, j2 = dec._syndrome_combos_jit(
+                x, pre, dec._rand_combo(field, cl, rng),
+                dec._rand_combo(field, cl, rng), field, base)
+            s1 = (s1 + np.asarray(j1).astype(np.uint64)) % p
+            s2 = (s2 + np.asarray(j2).astype(np.uint64)) % p
+        pos = dec._bm_locate(s1, s2, n, base, field)
+        if pos is not None:
+            return pos
+    return None

@@ -257,3 +257,95 @@ def test_stream_recover_check_at_max_loss(tmp_path):
                                 check=True)
     from fastecc_tpu import cli
     assert cli.main(["check", str(out)]) == 0
+
+
+def test_check_stream_matches_incore_states(tmp_path):
+    """storage.check_file_stream must report the same status/rc ladder
+    as the in-core cli check: healthy -> degraded -> unrecoverable,
+    plus corrupt-located for CRC-defeating corruption."""
+    src = _make_file(tmp_path, 6 * 4096 + 5)
+    out = tmp_path / "coded"
+    storage.encode_file_stream(src, out, GF32, chunk_words=128)
+    man = json.loads((out / "manifest.json").read_text())
+    n, k = man["n"], man["k"]
+
+    report, rc = storage.check_file_stream(out)
+    assert (rc, report["status"]) == (0, "healthy")
+    assert report["streamed"] and report["present"] == n
+
+    # degrade: drop one parity file
+    victim = sorted(out.glob("block_*.par"))[0]
+    blob = victim.read_bytes()
+    victim.unlink()
+    report, rc = storage.check_file_stream(out)
+    assert (rc, report["status"]) == (1, "degraded")
+    assert report["missing_or_corrupt"] == [
+        int(victim.stem.split("_")[1])]
+    victim.write_bytes(blob)
+
+    # unrecoverable: keep fewer than k files
+    files = sorted(out.glob("block_*.dat")) + sorted(out.glob("block_*.par"))
+    saved = {f.name: f.read_bytes() for f in files}
+    for f in files[: n - k + 1]:
+        f.unlink()
+    report, rc = storage.check_file_stream(out)
+    assert (rc, report["status"]) == (2, "unrecoverable")
+    for name, b in saved.items():
+        (out / name).write_bytes(b)
+
+    # corrupt-located: flip a data block AND forge its manifest CRC so
+    # only the algebraic audit can see it
+    from fastecc_tpu import host
+    vict = sorted(out.glob("block_*.dat"))[2]
+    pos = int(vict.stem.split("_")[1])
+    raw = bytearray(vict.read_bytes())
+    raw[7] ^= 0x55
+    vict.write_bytes(bytes(raw))
+    host.available() or host.build()
+    man["crc32c"][str(pos)] = int(host.crc32c(bytes(raw)))
+    (out / "manifest.json").write_text(json.dumps(man))
+    report, rc = storage.check_file_stream(out)
+    assert (rc, report["status"]) == (1, "corrupt-located")
+    assert report["located_corrupt"] == [pos]
+
+    # the CLI dispatches to the streamed path under --max-resident 0
+    assert cli.main(["check", str(out), "--max-resident", "0"]) == 1
+
+
+def test_check_stream_flags_crc_and_size(tmp_path):
+    src = _make_file(tmp_path, 3 * 4096)
+    out = tmp_path / "coded"
+    storage.encode_file_stream(src, out, GF32, chunk_words=256)
+    d = sorted(out.glob("block_*.dat"))
+    # CRC-corrupt one block (tag NOT forged), truncate another
+    raw = bytearray(d[0].read_bytes())
+    raw[0] ^= 1
+    d[0].write_bytes(bytes(raw))
+    d[1].write_bytes(d[1].read_bytes()[:100])
+    report, rc = storage.check_file_stream(out)
+    reasons = {p: why for p, why in report["flagged"]}
+    p0 = int(d[0].stem.split("_")[1])
+    p1 = int(d[1].stem.split("_")[1])
+    assert reasons[p0] == "CRC mismatch"
+    assert reasons[p1].startswith("bad size")
+    assert (rc, report["status"]) == (1, "degraded")
+    assert sorted(report["missing_or_corrupt"]) == sorted([p0, p1])
+
+
+def test_plan_word_chunk_warns_on_unaligned_budget_blowout():
+    """An odd GF32 block size (words not a multiple of 16) has no
+    aligned chunking; when the whole-axis fallback exceeds the residency
+    budget it must warn instead of silently voiding the bound."""
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = storage._plan_word_chunk(GF32, k=1 << 16, words=24,
+                                       max_resident_bytes=1 << 20)
+    assert got == 24
+    assert any(issubclass(x.category, ResourceWarning) for x in w)
+    # aligned word counts never warn
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        storage._plan_word_chunk(GF32, k=1 << 16, words=32,
+                                 max_resident_bytes=1 << 20)
+    assert not w
