@@ -173,6 +173,29 @@ def _mul_gf16(a, b):
     return jnp.where(r >= p, r - p, r)
 
 
+def _mul_gf16_tw(a, b):
+    """(a * b) mod 0x10001 with a in [0, 0x10000] and b STRICTLY below
+    2^16 — the butterfly-twiddle form.
+
+    Butterfly stage tables can never contain 0x10000 (= -1 mod p): the
+    size-a table holds w_a^j for j in [0, a/2) (and the radix-4 side
+    tables w^2j with 2j < a/2, w^3j with 3j != a/2 mod a for power-of-2
+    a, i4 = w^(a/4) whose square is -1), while w^j = -1 only at
+    j = a/2 — outside every table (asserted at table build,
+    ntt._assert_gf16_stage_table). With b < 2^16 the product never
+    wraps u32 (max 2^16 * (2^16 - 1)) and lo16 - hi16 lands in
+    (-2^16, 2^16), so both select branches are already < p: the
+    0x10000 * 0x10000 wrap check AND the final >= p select of
+    :func:`_mul_gf16` drop out — 5 VPU ops vs ~10 (the round-3 GF16
+    butterfly speedup; measured as the `gf16-tw` microbench variant).
+    """
+    p = _U32(GF16.p)
+    t = a * b
+    lo = t & _MASK16
+    hi = t >> _U32(16)
+    return jnp.where(lo >= hi, lo - hi, lo - hi + p)
+
+
 def mul(field: FieldSpec, a, b):
     """(a * b) mod p for arbitrary normal-domain uint32 operands < p."""
     if field.use_mont:

@@ -37,8 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import gf
 from ..fields import FieldSpec, FIELDS
-from ..ntt import _log2, _stage_twiddles, mul_prepared, ntt, powers_host, \
-    prepare_consts
+from ..ntt import _log2, _stage_twiddles, mul_prepared, mul_prepared_tw, \
+    ntt, powers_host, prepare_consts
 
 # Tile sizes: TR x TL batch columns per grid step; the transform axis is
 # resident in full. (8, 128) is the native u32 tile; TR > 8 amortizes
@@ -151,11 +151,11 @@ def _stage_r2_vmem(y, field: FieldSpec, tw_ref, c: int, s: int, off: int):
     elif half >= 8:
         # sublane-aligned vector slice broadcasts cleanly
         tw = tw_ref[off:off + half][:, None, :, None]
-        odd = mul_prepared(field, diff, tw)
+        odd = mul_prepared_tw(field, diff, tw)
     else:
         # sub-tile slices can't splat across sublanes+lanes in Mosaic:
         # extract the (at most 4) twiddles as scalars
-        parts = [mul_prepared(field, diff[j], tw_ref[off + j, 0])
+        parts = [mul_prepared_tw(field, diff[j], tw_ref[off + j, 0])
                  for j in range(half)]
         odd = jnp.stack(parts, axis=0)
     y = jnp.stack([even, odd], axis=1).reshape(
@@ -177,11 +177,11 @@ def _stage_r4_vmem(y, field: FieldSpec, tw_ref, w3_ref, c: int, s: int,
     q0, q1, q2, q3 = y[:q], y[q:2 * q], y[2 * q:3 * q], y[3 * q:]
     s0, s1 = gf.add(field, q0, q2), gf.add(field, q1, q3)
     d0 = gf.sub(field, q0, q2)
-    d1 = mul_prepared(field, gf.sub(field, q1, q3), i4)
+    d1 = mul_prepared_tw(field, gf.sub(field, q1, q3), i4)
     o00 = gf.add(field, s0, s1)
-    o10 = mul_prepared(field, gf.sub(field, s0, s1), w2)
-    o01 = mul_prepared(field, gf.add(field, d0, d1), w1)
-    o11 = mul_prepared(field, gf.sub(field, d0, d1), w3)
+    o10 = mul_prepared_tw(field, gf.sub(field, s0, s1), w2)
+    o01 = mul_prepared_tw(field, gf.add(field, d0, d1), w1)
+    o11 = mul_prepared_tw(field, gf.sub(field, d0, d1), w3)
     y = jnp.stack([o00, o01, o10, o11], axis=1).reshape(
         (q, 4 * y.shape[1], _TR, _TL))
     return y, off + 3 * q

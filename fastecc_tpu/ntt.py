@@ -111,6 +111,32 @@ def mul_prepared(field: FieldSpec, x, prepared):
     return gf._mul_gf16(x, prepared)
 
 
+def mul_prepared_tw(field: FieldSpec, x, prepared):
+    """x * c mod p where ``prepared`` is a BUTTERFLY STAGE table entry.
+
+    Identical to :func:`mul_prepared` for GF32; for GF16 it uses the
+    escape-free reduced form (gf._mul_gf16_tw) — stage tables provably
+    never contain 0x10000 (asserted at build,
+    :func:`_assert_gf16_stage_table`), which drops the wrap check and
+    the final select from every butterfly twiddle multiply. Do NOT use
+    for the four-step diagonal, coset, scale-folded, or decode tables:
+    those CAN evaluate to -1 = 0x10000."""
+    if field.use_mont:
+        return gf.mont_mul(field, x, prepared)
+    return gf._mul_gf16_tw(x, prepared)
+
+
+def _assert_gf16_stage_table(field: FieldSpec, vals: np.ndarray):
+    """Build-time proof hook for the mul_prepared_tw contract: a GF16
+    stage table must be 0x10000-free (w^j = -1 only at j = a/2, which
+    no stage table includes — see gf._mul_gf16_tw)."""
+    if not field.use_mont:
+        assert not (np.asarray(vals) == 0x10000).any(), (
+            "GF16 stage table contains -1 (0x10000): the tw-specialized "
+            "butterfly multiply would be wrong")
+    return vals
+
+
 @functools.lru_cache(maxsize=None)
 def _stage_twiddles(field_name: str, a: int, inverse: bool):
     """Prepared twiddles w_a^n, n in [0, a/2), for a Stockham stage of size a.
@@ -123,7 +149,8 @@ def _stage_twiddles(field_name: str, a: int, inverse: bool):
     w = field.root_of_order(a)
     if inverse:
         w = field.inv_host(w)
-    return np.asarray(prepare_consts(field, powers_host(field, w, a // 2)))
+    return _assert_gf16_stage_table(field, np.asarray(
+        prepare_consts(field, powers_host(field, w, a // 2))))
 
 
 @functools.lru_cache(maxsize=None)
@@ -192,7 +219,7 @@ def _stage_r2(y, field: FieldSpec, n: int, s: int, inverse: bool, rest):
     lo = y[:half]
     hi = y[half:]
     even = gf.add(field, lo, hi)
-    odd = mul_prepared(field, gf.sub(field, lo, hi), tw)
+    odd = mul_prepared_tw(field, gf.sub(field, lo, hi), tw)
     # prepend the new output bit to the completed axis -> natural order
     return jnp.stack([even, odd], axis=1).reshape(
         (half, 2 * y.shape[1]) + rest)
@@ -219,11 +246,11 @@ def _stage_r4(y, field: FieldSpec, n: int, s: int, inverse: bool, rest):
     q0, q1, q2, q3 = y[:q], y[q:2 * q], y[2 * q:3 * q], y[3 * q:]
     s0, s1 = gf.add(field, q0, q2), gf.add(field, q1, q3)
     d0 = gf.sub(field, q0, q2)
-    d1 = mul_prepared(field, gf.sub(field, q1, q3), i4)
+    d1 = mul_prepared_tw(field, gf.sub(field, q1, q3), i4)
     o00 = gf.add(field, s0, s1)
-    o10 = mul_prepared(field, gf.sub(field, s0, s1), w2)
-    o01 = mul_prepared(field, gf.add(field, d0, d1), w1)
-    o11 = mul_prepared(field, gf.sub(field, d0, d1), w3)
+    o10 = mul_prepared_tw(field, gf.sub(field, s0, s1), w2)
+    o01 = mul_prepared_tw(field, gf.add(field, d0, d1), w1)
+    o11 = mul_prepared_tw(field, gf.sub(field, d0, d1), w3)
     return jnp.stack([o00, o01, o10, o11], axis=1).reshape(
         (q, 4 * y.shape[1]) + rest)
 
@@ -242,8 +269,9 @@ def _r4_twiddles(field_name: str, a: int, inverse: bool):
     i4 = np.full(q, field.pow_host(w, q), dtype=np.uint32)
     w2 = powers_host(field, field.pow_host(w, 2), q)
     w3 = powers_host(field, field.pow_host(w, 3), q)
-    return tuple(np.asarray(prepare_consts(field, v))
-                 for v in (w1, i4, w2, w3))
+    return tuple(_assert_gf16_stage_table(
+        field, np.asarray(prepare_consts(field, v)))
+        for v in (w1, i4, w2, w3))
 
 
 def intt(x, field: FieldSpec, scale: bool = True):

@@ -168,3 +168,45 @@ def test_masksel_experimental_variants_match_reference():
     np.testing.assert_array_equal(
         np.asarray(_mont_mul_masksel(edges, edges[::-1])),
         np.asarray(gf.mont_mul(GF32, edges, edges[::-1])))
+
+
+def test_mul_gf16_tw_matches_full_mul():
+    """The escape-free butterfly multiply must equal _mul_gf16 for every
+    a in [0, 0x10000] x every b in [0, 0x10000) — exhaustive on the
+    boundary band plus dense random coverage (the b = 0x10000 column is
+    excluded by contract: stage tables never contain -1)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fastecc_tpu import gf
+
+    rng = np.random.default_rng(0x16F)
+    edge = np.array([0, 1, 2, 0xFFFF, 0x10000], dtype=np.uint32)
+    a = np.concatenate([edge.repeat(5),
+                        rng.integers(0, 0x10001, 4096, dtype=np.uint32)])
+    b = np.concatenate([np.tile(edge, 5),
+                        rng.integers(0, 0x10000, 4096, dtype=np.uint32)])
+    b = np.where(b == 0x10000, 0xFFFF, b)      # contract: b < 2^16
+    got = np.asarray(gf._mul_gf16_tw(jnp.asarray(a), jnp.asarray(b)))
+    want = np.asarray(gf._mul_gf16(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(got, want)
+    # bigint oracle too
+    ref = (a.astype(object) * b.astype(object)) % 0x10001
+    np.testing.assert_array_equal(got.astype(object), ref)
+
+
+def test_gf16_stage_tables_are_escape_free():
+    """The mul_prepared_tw contract: no stage table (radix-2 or radix-4,
+    forward or inverse, any size) contains 0x10000. Checked exhaustively
+    over every GF16 order."""
+    import numpy as np
+    from fastecc_tpu.fields import GF16
+    from fastecc_tpu.ntt import _r4_twiddles, _stage_twiddles
+
+    for t in range(1, GF16.max_log2 + 1):
+        a = 1 << t
+        for inv in (False, True):
+            assert not (np.asarray(_stage_twiddles(GF16.name, a, inv))
+                        == 0x10000).any(), (a, inv)
+            if a >= 4:
+                for tbl in _r4_twiddles(GF16.name, a, inv):
+                    assert not (np.asarray(tbl) == 0x10000).any(), (a, inv)
