@@ -624,9 +624,13 @@ def main(argv=None):
     p.add_argument("--lg-size", type=int, default=24)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--variant", default="jnp",
-                   choices=["jnp", "solinas", "solinas-masksel", "generic",
-                            "gf16", "addmod", "addmod-masksel",
-                            "raw-mul", "raw-add", "stream", "all"],
+                   choices=["jnp", "solinas", "solinas-bcast",
+                            "solinas-masksel", "generic",
+                            "gf16", "gf16-bcast", "gf16-tw", "addmod",
+                            "addmod-masksel", "raw-mul", "raw-add",
+                            "interleave", "stage-r2", "stage-r4",
+                            "stage-r2-gf16", "stage-r4-gf16",
+                            "stream", "all"],
                    help="Pallas in-VMEM A/B (reference ntt-binary mulmod "
                         "variant compare); 'all' emits the measured "
                         "roofline peak table")

@@ -98,25 +98,115 @@ def _mont_mul_masksel(y, z):
     return s - (pp & (jnp.uint32(0) - nw))
 
 
+def _interleave(y, z):
+    """One Stockham-style inter-stage relayout (stack even/odd halves
+    along a new axis, flatten back) plus one raw add to keep the chain
+    value-dependent (the add's cost is ~1/5000th of the relayout's and
+    prevents the compiler from reasoning the shuffle chain away). This
+    is the stage cost the butterfly-arithmetic model cannot see — the
+    roofline adds it per stage (utils/profiling.py)."""
+    h = y.shape[0] // 2
+    return jnp.stack([y[:h], y[h:]], axis=1).reshape(y.shape) + z
+
+
+# --- composite STAGE variants: the roofline's actual units -----------------
+# Round-2's roofline summed per-primitive chain rates (mulmod + addmod +
+# submod) and the fused pipelines beat it by up to 69%: per-op rates do
+# not add — the VPU overlaps the mul's partial products with the
+# adds/selects of neighboring butterflies, and the dependent chain
+# already hoists the loop-invariant operand's limb splits (measured:
+# solinas-bcast 72.8 vs solinas 68.1 — broadcast is NOT the explanation).
+# A bound you can certify against must measure the exact composite the
+# kernel issues: one full Stockham stage (butterfly arithmetic AND the
+# even/odd interleave) per chain step, twiddle broadcast like the real
+# stage tables. stage-r4 merges two stages per step with ONE interleave —
+# the shape the kernels actually run (radix=4 default).
+
+def _stage_r2_gf32(y, z):
+    h = y.shape[0] // 2
+    lo, hi = y[:h], y[h:]
+    even = gf.add(GF32, lo, hi)
+    odd = gf.mont_mul(GF32, gf.sub(GF32, lo, hi), z[:h])
+    return jnp.stack([even, odd], axis=1).reshape(y.shape)
+
+
+def _stage_r2_gf16(y, z):
+    h = y.shape[0] // 2
+    lo, hi = y[:h], y[h:]
+    even = gf.add(GF16, lo, hi)
+    odd = gf._mul_gf16_tw(gf.sub(GF16, lo, hi), z[:h])
+    return jnp.stack([even, odd], axis=1).reshape(y.shape)
+
+
+def _make_stage_r4(field, mul):
+    def step(y, z):
+        q = y.shape[0] // 4
+        zq = z[:q]
+        q0, q1, q2, q3 = y[:q], y[q:2 * q], y[2 * q:3 * q], y[3 * q:]
+        s0, s1 = gf.add(field, q0, q2), gf.add(field, q1, q3)
+        d0 = gf.sub(field, q0, q2)
+        d1 = mul(gf.sub(field, q1, q3), zq)
+        o00 = gf.add(field, s0, s1)
+        o10 = mul(gf.sub(field, s0, s1), zq)
+        o01 = mul(gf.add(field, d0, d1), zq)
+        o11 = mul(gf.sub(field, d0, d1), zq)
+        return jnp.stack([o00, o01, o10, o11], axis=1).reshape(y.shape)
+    return step
+
+
+_stage_r4_gf32 = _make_stage_r4(GF32, lambda a, b: gf.mont_mul(GF32, a, b))
+_stage_r4_gf16 = _make_stage_r4(GF16, gf._mul_gf16_tw)
+
+
 _VARIANTS = {
     "raw-mul": lambda y, z: y * z,
     "raw-add": lambda y, z: y + z,
     "addmod": lambda y, z: gf.add(GF32, y, z),
     "addmod-masksel": _addmod_masksel,
     "solinas": lambda y, z: gf.mont_mul(GF32, y, z),
+    # broadcast second operand ([TS, 1] -> lanes): the BUTTERFLY's form —
+    # the twiddle is constant along TR x TL, so its limb split and its
+    # side of the REDC amortize across the broadcast. The general-operand
+    # "solinas" rate under-estimates what the kernels achieve (measured
+    # pipelines ran at up to 169% of the old model — round-2 verdict
+    # weak #2); this variant IS the roofline's mulmod rate.
+    "solinas-bcast": lambda y, z: gf.mont_mul(GF32, y, z),
     "solinas-masksel": _mont_mul_masksel,
     "generic": lambda y, z: gf.mont_mul(GF32, y, z, generic=True),
     "gf16": lambda y, z: gf._mul_gf16(y, z),
+    "gf16-bcast": lambda y, z: gf._mul_gf16(y, z),
+    # the escape-free butterfly form (stage tables never hold 0x10000):
+    # what the GF16 NTT stages actually run since round 3
+    "gf16-tw": lambda y, z: gf._mul_gf16_tw(y, z),
+    "interleave": _interleave,
+    "stage-r2": _stage_r2_gf32,
+    "stage-r4": _stage_r4_gf32,          # 2 element-stages per step
+    "stage-r2-gf16": _stage_r2_gf16,
+    "stage-r4-gf16": _stage_r4_gf16,     # 2 element-stages per step
 }
+
+# variants whose z operand is a broadcast column (twiddle-like)
+_BCAST = {"solinas-bcast", "gf16-bcast", "gf16-tw", "stage-r2",
+          "stage-r4", "stage-r2-gf16", "stage-r4-gf16"}
+
+# chain steps that apply TWO butterfly stages to every element (the
+# radix-4 merged form): multiply their element-steps/s rate by 2 to get
+# element-STAGES/s for the roofline
+_STAGES_PER_STEP = {"stage-r4": 2, "stage-r4-gf16": 2}
 
 
 def _chain_kernel(x_ref, z_ref, out_ref, *, variant: str, depth: int):
     y = x_ref[:]
     z = z_ref[:]
+    if variant in _BCAST:
+        z = z[:, :1]        # [TS, 1]: broadcast along lanes like a twiddle
     step = _VARIANTS[variant]
-    for _ in range(depth):
-        y = step(y, z)
-    out_ref[:] = y
+    # fori_loop, not Python unrolling: the composite stage variants carry
+    # stack+reshape relayouts per step, and a 256-deep unrolled chain of
+    # those blows Mosaic compile time past 30 min (observed); the rolled
+    # loop compiles in seconds and the dependent carry keeps every step
+    # as un-foldable as the unrolled form.
+    out_ref[:] = jax.lax.fori_loop(0, depth, lambda _, v: step(v, z), y)
 
 
 def _chain_fn(rows: int, variant: str, depth: int):
