@@ -25,3 +25,28 @@ from fastecc_tpu.utils.timer import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache(os.path.join(os.path.dirname(__file__),
                                      ".jax_cache"))
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--tpu", action="store_true", default=False,
+        help="run the @pytest.mark.tpu tier (real-chip compiled-kernel "
+             "regression; needs the axon TPU and several minutes of "
+             "remote compiles)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """The tpu tier is opt-in: this pytest process is pinned to the CPU
+    backend (above), so tpu tests run the chip via SUBPROCESSES — each
+    costs minutes of remote compile. Skip unless --tpu or
+    FASTECC_TPU_TESTS=1 (the tests additionally self-skip when no chip
+    answers)."""
+    if config.getoption("--tpu") or os.environ.get("FASTECC_TPU_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="tpu tier is opt-in: pass --tpu (or FASTECC_TPU_TESTS=1)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)

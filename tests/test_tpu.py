@@ -1,0 +1,118 @@
+"""Real-chip regression tier (SURVEY.md §4 tier-3 analog): the COMPILED
+(non-interpret) Pallas kernels vs the staged jnp path, on actual TPU
+hardware.
+
+The CPU suite runs every Pallas kernel in interpret mode; a Mosaic
+lowering regression (sublane alignment, select lowering, VMEM layout)
+would pass CPU CI and silently corrupt on-chip results. This tier was a
+manual drill through round 2 (bench runs + the verify recipe); here it
+becomes regression coverage: `pytest --tpu tests/test_tpu.py` (or
+FASTECC_TPU_TESTS=1) on a machine with the chip.
+
+Mechanics: the pytest process itself is pinned to the CPU backend
+(conftest.py), so the chip work runs in ONE subprocess (fresh process =
+default axon backend) covering, bit-exactly vs the staged jnp path on
+the same chip and the numpy host twin:
+
+  * compiled ntt_pallas forward + inverse, GF32 and GF16, radix-4;
+  * the fused RS encode (pre_seed coset fusion inside pass A);
+  * the fused decode epilogue (pre_vec/post_vec/sel merge in pass B)
+    recovering a garbled codeword exactly;
+  * a shard_map-wrapped local transform (ntt_sharded on a 1-device TPU
+    mesh — the Pallas-inside-shard_map lowering).
+
+Budget: ~6 distinct programs x ~25-60 s remote compile each (nothing
+persists across processes on the axon tunnel) — minutes, which is why
+the tier is opt-in.
+"""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+_SCRIPT = r"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+if jax.default_backend() != "tpu":
+    print("NO-TPU:", jax.default_backend())
+    raise SystemExit(42)
+
+from fastecc_tpu import decode as dec
+from fastecc_tpu import gf, rs
+from fastecc_tpu.fields import GF16, GF32
+from fastecc_tpu.kernels.ntt_mfa import ntt_pallas
+from fastecc_tpu.ntt import ntt, ntt_host
+
+rng = np.random.default_rng(0x7B0)
+n, lanes = 4096, 256
+
+for field in (GF32, GF16):
+    x = rng.integers(0, field.p, size=(n, lanes),
+                     dtype=np.uint64).astype(np.uint32)
+    xj = jnp.asarray(x)
+    # one jitted program computes both lowerings; equality checked on host
+    fwd = jax.jit(lambda v, f=field: (ntt_pallas(v, f), ntt(v, f)))
+    a, b = fwd(xj)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(a), ntt_host(x, field))
+    inv = jax.jit(lambda v, f=field: (
+        ntt_pallas(v, f, inverse=True), ntt(v, f, inverse=True)))
+    ai, bi = inv(xj)
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(bi))
+    np.testing.assert_array_equal(np.asarray(ai),
+                                  ntt_host(x, field, inverse=True))
+    print(f"PALLAS-VS-JNP-{field.name}: OK")
+
+# fused RS encode (pre_seed coset multiply rides pass A) + fused decode
+# (pre_vec locator multiply, post_vec Forney divide, sel merge ride the
+# transform prologue/epilogues) — recovery must be exact
+k = n // 2
+data = jnp.asarray(rng.integers(0, GF32.p, size=(k, lanes),
+                                dtype=np.uint64).astype(np.uint32))
+cw = np.asarray(rs.encode_jit(data, GF32, n))
+erased = np.sort(rng.choice(n, size=k, replace=False))
+garbled = cw.copy()
+garbled[erased] = rng.integers(0, GF32.p, size=(k, lanes),
+                               dtype=np.uint64).astype(np.uint32)
+out = np.asarray(dec.decode_host_prepared(jnp.asarray(garbled), erased,
+                                          GF32, k=k))
+np.testing.assert_array_equal(out, cw)
+print("FUSED-ENCODE-DECODE: OK")
+
+# shard_map-wrapped local transform on a real-chip mesh
+from fastecc_tpu.parallel import make_mesh
+from fastecc_tpu.parallel.ntt_dist import ntt_sharded_jit
+
+mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+xs = jnp.asarray(cw)
+s1 = np.asarray(ntt_sharded_jit(xs, GF32, mesh))
+s2 = np.asarray(jax.jit(lambda v: ntt(v, GF32))(xs))
+np.testing.assert_array_equal(s1, s2)
+print("SHARD-MAP-ON-CHIP: OK")
+print("TPU-TIER-PASS")
+"""
+
+
+def test_compiled_kernels_on_chip():
+    env = os.environ.copy()
+    env["PYTHONPATH"] = (str(REPO) + os.pathsep
+                         + env.get("PYTHONPATH", "")).rstrip(os.pathsep)
+    # the persistent compile cache HANGS the axon backend — make sure the
+    # subprocess never inherits one
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    proc = subprocess.run([sys.executable, "-c", _SCRIPT],
+                          capture_output=True, text=True, timeout=1500,
+                          env=env, cwd=str(REPO))
+    if proc.returncode == 42:
+        pytest.skip(f"no TPU answers: {proc.stdout.strip()}")
+    assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
+    assert "TPU-TIER-PASS" in proc.stdout, proc.stdout
