@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Out-of-core path measurement (SURVEY.md §6 discipline): streamed
+encode + recover of a multi-GB file with the host-RAM high-water
+recorded, so "link-bound by design" is a measured row in BASELINE.md
+instead of an assertion (round-2 verdict, missing #5).
+
+    python tools/bench_storage.py --gib 4 --workdir /root/repo/.bench_io
+
+Prints one JSON line per phase. Notes for reading the numbers on THIS
+machine: the axon tunnel moves host<->device traffic at ~20 MB/s, so
+the streamed paths are tunnel-link-bound here (the point of the
+measurement is the bound's LOCATION — link, not RAM — plus the RSS
+ceiling; on hardware with a local chip the same path is PCIe/disk
+bound). RSS is sampled via resource.getrusage (ru_maxrss, whole
+process), which includes dirty staging-memmap pages — an upper bound
+on the residency the planner promises.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import resource
+import shutil
+import time
+
+import numpy as np
+
+
+def _rss_mb() -> int:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gib", type=float, default=4.0,
+                    help="file size to stream (GiB)")
+    ap.add_argument("--max-resident-mb", type=int, default=512,
+                    help="residency budget handed to the planner")
+    ap.add_argument("--workdir", default=".bench_io")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from fastecc_tpu import storage
+    from fastecc_tpu.fields import GF32
+
+    wd = pathlib.Path(args.workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+    src = wd / "payload.bin"
+    size = int(args.gib * (1 << 30))
+
+    # deterministic compressible-agnostic payload written in 64 MB
+    # strides (raw bytes travel the link either way)
+    rng = np.random.default_rng(0x10)
+    stride = 64 << 20
+    with open(src, "wb") as fh:
+        left = size
+        block = rng.integers(0, 256, stride, dtype=np.uint16).astype(
+            np.uint8).tobytes()
+        while left > 0:
+            fh.write(block[: min(stride, left)])
+            left -= stride
+    base_rss = _rss_mb()
+
+    coded = wd / "coded"
+    if coded.exists():
+        shutil.rmtree(coded)
+    t0 = time.perf_counter()
+    man = storage.encode_file_stream(
+        src, coded, GF32,
+        max_resident_bytes=args.max_resident_mb << 20)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "op": "encode_file_stream", "bytes": size,
+        "seconds": round(dt, 1),
+        "gb_per_sec": round(size / dt / 1e9, 4),
+        "max_resident_mb_budget": args.max_resident_mb,
+        "rss_high_water_mb": _rss_mb(),
+        "rss_before_mb": base_rss,
+        "k": man["k"], "n": man["n"]}), flush=True)
+
+    # drop the maximum recoverable loss: all data blocks beyond what
+    # parity can carry... keep it simple and hard: delete HALF the
+    # files (n-k of n), mixed kinds
+    files = sorted(coded.glob("block_*.dat")) + \
+        sorted(coded.glob("block_*.par"))
+    drop = np.random.default_rng(1).choice(
+        len(files), size=man["n"] - man["k"], replace=False)
+    for i in drop:
+        files[i].unlink()
+
+    back = wd / "recovered.bin"
+    t0 = time.perf_counter()
+    wrote = storage.recover_file_stream(
+        coded, back, max_resident_bytes=args.max_resident_mb << 20)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "op": "recover_file_stream", "bytes": size,
+        "blocks_reconstructed": wrote,
+        "seconds": round(dt, 1),
+        "gb_per_sec": round(size / dt / 1e9, 4),
+        "rss_high_water_mb": _rss_mb()}), flush=True)
+
+    ok = True
+    with open(src, "rb") as a, open(back, "rb") as b:
+        while True:
+            ca, cb = a.read(1 << 24), b.read(1 << 24)
+            if ca != cb:
+                ok = False
+                break
+            if not ca:
+                break
+    print(json.dumps({"op": "verify", "bit_exact": ok}), flush=True)
+    if not args.keep:
+        shutil.rmtree(wd)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
