@@ -194,6 +194,18 @@ _BCAST = {"solinas-bcast", "gf16-bcast", "gf16-tw", "stage-r2",
 # element-STAGES/s for the roofline
 _STAGES_PER_STEP = {"stage-r4": 2, "stage-r4-gf16": 2}
 
+# Per-variant unroll depth. The chains must be Python-unrolled: a
+# lax.fori_loop inside a Pallas kernel hangs the axon remote compile
+# outright (observed round 3), so rolling the loop is not an option. But
+# Mosaic compile time grows super-linearly in the number of unrolled
+# stack+reshape relayouts — depth 128 of the composite stage variants
+# blows past 30 min, while depth 16/32 compiles in seconds. The simple
+# elementwise variants carry no relayouts and keep the deep chain.
+_COMPOSITE = {"interleave", "stage-r2", "stage-r4",
+              "stage-r2-gf16", "stage-r4-gf16"}
+_DEFAULT_DEPTH = 128
+_COMPOSITE_DEPTH = 16
+
 
 def _chain_kernel(x_ref, z_ref, out_ref, *, variant: str, depth: int):
     y = x_ref[:]
@@ -201,12 +213,9 @@ def _chain_kernel(x_ref, z_ref, out_ref, *, variant: str, depth: int):
     if variant in _BCAST:
         z = z[:, :1]        # [TS, 1]: broadcast along lanes like a twiddle
     step = _VARIANTS[variant]
-    # fori_loop, not Python unrolling: the composite stage variants carry
-    # stack+reshape relayouts per step, and a 256-deep unrolled chain of
-    # those blows Mosaic compile time past 30 min (observed); the rolled
-    # loop compiles in seconds and the dependent carry keeps every step
-    # as un-foldable as the unrolled form.
-    out_ref[:] = jax.lax.fori_loop(0, depth, lambda _, v: step(v, z), y)
+    for _ in range(depth):
+        y = step(y, z)
+    out_ref[:] = y
 
 
 def _chain_fn(rows: int, variant: str, depth: int):
@@ -221,14 +230,18 @@ def _chain_fn(rows: int, variant: str, depth: int):
     )(v, z))
 
 
-def vpu_chain_gops(variant: str, mib: int = 64, depth: int = 128,
+def vpu_chain_gops(variant: str, mib: int = 64, depth: int | None = None,
                    iters: int = 3) -> float:
     """Billions of ``variant`` ops/s: (depth vs 2*depth) differenced, so
     launch overhead and the HBM read/write cancel and only the marginal
-    ``depth`` chain applications are timed."""
+    ``depth`` chain applications are timed. ``depth=None`` picks the
+    per-variant default (composite stage variants use a short chain to
+    keep Mosaic compile time bounded — see _COMPOSITE_DEPTH)."""
     from ..utils.timer import time_fn
 
     assert variant in _VARIANTS, f"unknown variant {variant!r}"
+    if depth is None:
+        depth = _COMPOSITE_DEPTH if variant in _COMPOSITE else _DEFAULT_DEPTH
     rows = mib * 1024 * 1024 // (4 * _TL)
     # keep values < p (GF32) / <= 0x10000 (GF16); fine for raw ops too
     x = (jnp.arange(rows * _TL, dtype=jnp.uint32) & jnp.uint32(0xFFFF)
@@ -238,7 +251,78 @@ def vpu_chain_gops(variant: str, mib: int = 64, depth: int = 128,
     t1 = time_fn(_chain_fn(rows, variant, depth), x, z, iters=iters)
     t2 = time_fn(_chain_fn(rows, variant, 2 * depth), x, z, iters=iters)
     marginal = max(t2 - t1, 1e-9)
-    return rows * _TL * depth / marginal / 1e9
+    mult = _STAGES_PER_STEP.get(variant, 1)
+    return rows * _TL * depth * mult / marginal / 1e9
+
+
+# --- the REAL composite unit: the kernel's own fused sub-transform ---------
+# The 2D stage variants above under-measure the hardware by ~4x (measured:
+# stage-r4 40.7 Gstages/s vs ~170 achieved by the encode pipeline): on a
+# flat [TS, TL] array the Stockham even/odd interleave is a genuine
+# sublane shuffle, while the production kernels hold the transform as
+# [c, g, TR, TL] tiles where the same interleave is pure tile
+# REINDEXING — stack along axis 1 + leading-dim reshape moves no data
+# within any (8, 128) tile. A bound the pipelines can be certified
+# against must therefore measure the kernel's actual inner loop:
+# ntt_mfa._ntt_stages on the real 4D layout, chained depth times
+# (each application is a full c-point fused transform; outputs stay in
+# the field so the chain is closed).
+
+def _fused_chain_kernel(tw_ref, w3_ref, x_ref, out_ref, *, field,
+                        c: int, depth: int):
+    from . import ntt_mfa
+    y = x_ref[:]
+    for _ in range(depth):
+        y = ntt_mfa._ntt_stages(y, field, tw_ref[:], c, w3_ref[:])
+    out_ref[:] = y
+
+
+def fused_stage_gops(field_name: str = "GF32", c: int = 2048,
+                     rows_tiles: int = 64, depth: int = 2,
+                     iters: int = 3, interpret: bool = False) -> float:
+    """Element-STAGES/s of the production fused sub-transform (radix-4
+    `_ntt_stages`) on its real [c, TR, TL] VMEM layout — the honest
+    compute roofline unit. Chain `depth` full c-point transforms per
+    grid step; difference depth vs 2*depth so HBM and launch cancel;
+    rate = elems * log2(c) * depth / marginal."""
+    import math
+    from . import ntt_mfa
+    from ..utils.timer import time_fn
+    from ..fields import FIELDS
+
+    field = FIELDS[field_name]
+    tw = jnp.asarray(
+        ntt_mfa._packed_stage_twiddles(field.name, c, False))[:, None]
+    w3 = jnp.asarray(
+        ntt_mfa._packed_w3_twiddles(field.name, c, False))[:, None]
+    r_rows = rows_tiles * ntt_mfa._TR
+    x = (jnp.arange(c * r_rows * _TL, dtype=jnp.uint32)
+         % jnp.uint32(min(field.p, 0x10000))).reshape(c, r_rows, _TL)
+    vec = pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    def fn(depth):
+        return jax.jit(lambda t, w, v: pl.pallas_call(
+            functools.partial(_fused_chain_kernel, field=field, c=c,
+                              depth=depth),
+            grid=(rows_tiles,),
+            in_specs=[vec, vec,
+                      pl.BlockSpec((c, ntt_mfa._TR, _TL),
+                                   lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((c, ntt_mfa._TR, _TL),
+                                   lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, r_rows, _TL), jnp.uint32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(t, w, v))
+
+    t1 = time_fn(fn(depth), tw, w3, x, iters=iters)
+    t2 = time_fn(fn(2 * depth), tw, w3, x, iters=iters)
+    marginal = max(t2 - t1, 1e-9)
+    elems = c * r_rows * _TL
+    return elems * math.log2(c) * depth / marginal / 1e9
 
 
 def measure_peaks(iters: int = 3, quick: bool = False) -> dict:

@@ -36,55 +36,113 @@ def scope(name: str):
 # --variant all`) — INDEPENDENT of any codec measurement, so the roofline
 # comparison below is not circular. Re-measure with measure_peaks() when
 # the hardware changes; docs/DESIGN.md records the measured table.
+#
+# Round-3 lesson (why the roofline no longer uses the mulmod/addmod chain
+# rates): a DEPENDENT elementwise chain measures a latency-bound rate,
+# not the throughput peak — the production kernels beat the round-2
+# "bound" built from those rates by up to 69% because independent
+# butterflies overlap in the VPU pipelines. Even a chain of the kernels'
+# own fused sub-transforms (fused_stage_gops) under-measures what the
+# full pipeline sustains. The only numbers that are genuine UPPER bounds
+# are the raw single-op rates (a u32 multiply cannot issue faster than
+# raw_mul_gops no matter the schedule), so pipeline_roofline() now counts
+# the exact VPU ops each primitive lowers to and prices them at the raw
+# rates. The chain rates are kept below as measured *diagnostics*.
 MEASURED_PEAKS_V5E = {
     "hbm_stream_gbps": 577.2,      # Pallas copy, read+write counted
-    "solinas_gops": 68.1,          # Solinas-REDC mulmod, traced operands
-    "generic_gops": 70.3,          # generic limb REDC (— a WASH vs
-                                   # Solinas on v5e: u32 mul is full-rate,
-                                   # so the multiplier-free REDC's fewer
-                                   # hardware multiplies buy nothing)
-    "addmod_gops": 399.7,          # carry-trick modular add
-    "gf16_gops": 137.3,            # Fermat-prime mulmod
     "raw_mul_gops": 3133.8,        # single u32 hardware multiply
     "raw_add_gops": 5244.3,        # single u32 add
+    # -- dependent-chain DIAGNOSTIC rates (latency-bound, NOT peaks) --
+    "solinas_gops": 68.1,          # Solinas-REDC mulmod, traced operands
+    "solinas_bcast_gops": 72.8,    # broadcast (twiddle-like) 2nd operand
+    "generic_gops": 70.3,          # generic limb REDC (a WASH vs Solinas
+                                   # on v5e: u32 mul is full-rate)
+    "addmod_gops": 399.7,          # carry-trick modular add
+    "gf16_gops": 137.3,            # Fermat-prime mulmod (general operand)
+    "gf16_tw_gops": 202.0,         # escape-free twiddle form (round 3)
+    # -- composite-stage DIAGNOSTIC rates (element-stages/s) --
+    # flat [512,128] layout: the Stockham interleave is a real sublane
+    # shuffle and dominates (this is exactly why the kernels hold the
+    # transform as [c, g, 8, 128] tiles, where it is free reindexing)
+    "stage_r4_flat_gops": 40.7,
+    "stage_r2_flat_gops": 13.1,
+    "interleave_flat_gops": 83.6,
+    "stage_r4_gf16_flat_gops": 71.1,
+    "stage_r2_gf16_flat_gops": 18.2,
+    # production layout (the kernels' own _ntt_stages, chained):
+    "fused_gf32_c2048_gops": 104.2,
+    "fused_gf32_c512_gops": 126.2,
+    "fused_gf16_c256_gops": 699.4,
 }
 
 
-def encode_roofline(n_blocks: int, lanes: int, peaks: dict | None = None):
-    """Speed-of-light estimate for RS encode (n = 2k blocks, fused MFA
-    path) from MEASURED peaks (kernels/microbench.py), not constants
-    calibrated to the codec itself.
+# Exact elementwise-op counts per primitive, audited against gf.py's
+# lowering (each shift/and/or/add/sub/compare/select = one VPU op; the
+# four 16x16 partial products and the final product are the hardware
+# multiplies). Undercounting would only RAISE the bound, so ties break
+# toward fewer ops.
+#   gf.mont_mul Solinas : _mul_wide 4 mul + 17 ops; REDC tail 16 ops
+#   gf._mul_gf16_tw     : 1 mul + 6 ops
+#   gf.add p>2^31       : 5 ops   gf.sub : 4 ops
+#   gf.add p<2^31       : 4 ops
+# Radix-4 butterfly = 4 mulmods + 4 addmods + 4 submods per 4 elements
+# x 2 stages (8 element-stages):
+_STAGE_OPS = {                      # per element-stage: (muls, other ops)
+    "GF32": (16 / 8, (4 * 33 + 4 * 5 + 4 * 4) / 8),   # (2, 21)
+    "GF16": (4 / 8, (4 * 6 + 4 * 4 + 4 * 4) / 8),     # (0.5, 7)
+}
+_MULMOD_OPS = {"GF32": (4, 33), "GF16": (1, 6)}
 
-    Memory model: 2 fused passes per transform x 2 transforms = 4 HBM
-    read+write passes over [k, lanes] u32, at the measured stream rate.
-    Compute model: each radix-2 butterfly output pair costs one mulmod +
-    one addmod + one submod per element pair per stage; with the measured
-    dependent-chain rates m = solinas_gops and a = addmod_gops, the
-    butterfly costs (1/m + 2/a) seconds per element pair. Relayout/
-    interleave overhead between stages is NOT included — the gap between
-    this bound and the measurement is the honest inefficiency number.
 
-    Returns a dict of bound estimates in seconds and the implied GB/s of
-    codeword output.
+def pipeline_roofline(field_name: str, transform_len: int, lanes: int,
+                      n_transforms: int = 2,
+                      extra_mulmods_per_elem: float = 3.0,
+                      hbm_passes: float = 4.0,
+                      out_bytes: int | None = None,
+                      peaks: dict | None = None) -> dict:
+    """Speed-of-light bound for a fused-transform pipeline from exact op
+    counts priced at the measured RAW op rates (true upper bound: no
+    schedule can issue a u32 multiply faster than the measured raw rate).
+
+    ``extra_mulmods_per_elem`` covers the non-butterfly multiplies the
+    fused pipeline performs per element (four-step twiddle epilogue, RS
+    coset pre-multiply, decode pre_vec/post_vec); ``hbm_passes`` counts
+    read+write passes over the [transform_len, lanes] u32 array.
     """
     import math
     peaks = peaks or MEASURED_PEAKS_V5E
-    k = n_blocks // 2
-    elems = k * lanes
+    elems = transform_len * lanes
     word_bytes = 4
-    # four fused passes read+write the [k, lanes] array
-    hbm_bytes = 4 * 2 * elems * word_bytes
-    t_mem = hbm_bytes / (peaks["hbm_stream_gbps"] * 1e9)
-    stages = 2 * math.log2(k)                  # iNTT + coset NTT
-    pairs = elems * stages * 0.5
-    per_pair = 1 / (peaks["solinas_gops"] * 1e9) \
-        + 2 / (peaks["addmod_gops"] * 1e9)
-    t_compute = pairs * per_pair
+    t_mem = hbm_passes * 2 * elems * word_bytes / (
+        peaks["hbm_stream_gbps"] * 1e9)
+    r_mul = peaks["raw_mul_gops"] * 1e9
+    r_add = peaks["raw_add_gops"] * 1e9
+    muls, others = _STAGE_OPS[field_name]
+    stages = n_transforms * math.log2(transform_len)
+    t_stages = elems * stages * (muls / r_mul + others / r_add)
+    mm, mo = _MULMOD_OPS[field_name]
+    t_extra = elems * extra_mulmods_per_elem * (mm / r_mul + mo / r_add)
+    t_compute = t_stages + t_extra
     t = max(t_mem, t_compute)
-    out_bytes = n_blocks * lanes * word_bytes
+    ob = out_bytes if out_bytes is not None else elems * word_bytes
     return {
         "t_memory_bound_s": t_mem,
         "t_compute_bound_s": t_compute,
+        "t_stage_compute_s": t_stages,
+        "t_extra_mulmod_s": t_extra,
         "bound": "memory" if t_mem > t_compute else "compute",
-        "speed_of_light_gbps": out_bytes / t / 1e9,
+        "speed_of_light_s": t,
+        "speed_of_light_gbps": ob / t / 1e9,
     }
+
+
+def encode_roofline(n_blocks: int, lanes: int, peaks: dict | None = None,
+                    field_name: str = "GF32"):
+    """RS-encode speed-of-light (coset fast path: iNTT_k + coset NTT_k,
+    two fused two-pass transforms over [k, lanes]; 3 extra multiplies per
+    element = 2 four-step epilogues + 1 coset pre-multiply). GB/s is in
+    codeword bytes (n * lanes * 4)."""
+    k = n_blocks // 2
+    return pipeline_roofline(
+        field_name, k, lanes, n_transforms=2, extra_mulmods_per_elem=3.0,
+        hbm_passes=4.0, out_bytes=n_blocks * lanes * 4, peaks=peaks)
