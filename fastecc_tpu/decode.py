@@ -261,9 +261,22 @@ def decode_prepared(codeword, mask, l_eval_prep, lp_inv_prep,
     it and merge from their own survivor copies.
     """
     n = codeword.shape[0]
+    dx = jnp.asarray(_xderiv_consts(field.name, n))
+    from .kernels import ntt_mfa
+    if (codeword.ndim == 2 and jax.default_backend() == "tpu"
+            and ntt_mfa._pair_supported(n, codeword.shape[1])):
+        # seam-fused fast path: the whole iNTT -> NTT pair in THREE
+        # Pallas passes (transform-1 pass B and transform-2 pass A share
+        # one VMEM residency over the swapped-split seam) — 25% less HBM
+        # traffic than the two staged transforms. Bit-exact vs the
+        # generic path below (test-enforced).
+        return ntt_mfa.ntt_pair_pallas(
+            codeword, field, pre_vec1=l_eval_prep, pre_vec2=dx,
+            post_vec=lp_inv_prep,
+            sel_mask=mask if merge else None,
+            sel_orig=codeword if merge else None)
     h_coeffs = ntt_auto(codeword, field, inverse=True,
                         pre_vec=l_eval_prep)
-    dx = jnp.asarray(_xderiv_consts(field.name, n))
     if not merge:
         return ntt_auto(h_coeffs, field, pre_vec=dx, post_vec=lp_inv_prep)
     return ntt_auto(h_coeffs, field, pre_vec=dx,

@@ -455,3 +455,260 @@ ntt_pallas_jit = jax.jit(
     ntt_pallas,
     static_argnames=("field", "inverse", "scale", "pre_seed", "interpret",
                      "radix", "c_dim"))  # pre_vec is traced, not static
+
+
+# ---------------------------------------------------------------------------
+# Seam-fused transform PAIR: NTT_coset(iNTT(x)) in THREE passes.
+#
+# Encode's hot path is two back-to-back transforms (rs.py coset trick),
+# i.e. 4 fused HBM read+write passes. The op-count roofline (round 3,
+# utils/profiling.py) showed GF16 encode is MEMORY-bound on those 4
+# passes, and GF32 encode pays ~30 ms of HBM alongside ~95 ms of
+# compute. The middle two passes fuse: give transform 2 the SWAPPED
+# split (c2, r2) = (r1, c1), and transform-1 pass B's output tile is
+# bit-for-bit transform-2 pass A's input tile —
+#
+#   pass B1 grid step i holds out[k_r1, k_c1 in tile_i] = X[m'],
+#   m' = k_c1 + c1*k_r1; transform 2 wants x3[c2_idx, r2_idx] = X[m],
+#   m = c2_idx*r2 + r2_idx; with r2 = c1 these coincide at
+#   c2_idx = k_r1, r2_idx = k_c1 — the in-VMEM array after the stage-B1
+#   butterflies IS the pass-A2 tile, no relayout, no HBM round-trip.
+#
+# (This is the single-chip twin of the distributed transposed-layout
+# seam that cut the sharded pipeline to 4 collectives — parallel/
+# ntt_dist.py; same algebra, ICI handoff replaced by a VMEM no-op.)
+# ---------------------------------------------------------------------------
+
+def _seam_kernel(tw_r1_ref, w3_r1_ref, tw_c2_ref, w3_c2_ref, seed2_ref,
+                 t02_ref, pcol2_ref, prow2_ref, y_ref, out_ref, *,
+                 field: FieldSpec, r1: int, radix: int):
+    """Transform-1 pass B + rank-1 coset pre-multiply + transform-2
+    pass A, one VMEM residency. c2 == r1 by construction."""
+    y = _ntt_stages(y_ref[:], field, tw_r1_ref[:], r1,
+                    w3_r1_ref[:] if radix == 4 else None)
+    pre = mul_prepared(field, pcol2_ref[:], prow2_ref[0])   # [c2, TR]
+    y = mul_prepared(field, y, pre[:, :, None])
+    y = _ntt_stages(y, field, tw_c2_ref[:], r1,
+                    w3_c2_ref[:] if radix == 4 else None)
+    _col_epilogue(tw_c2_ref, seed2_ref, t02_ref, y, out_ref, field)
+
+
+def _seam_kernel_vec(tw_r1_ref, w3_r1_ref, tw_c2_ref, w3_c2_ref, seed2_ref,
+                     t02_ref, pvec2_ref, y_ref, out_ref, *,
+                     field: FieldSpec, r1: int, radix: int):
+    """Seam variant with a GENERAL traced middle multiply x2[m] *= v[m]
+    from a prepared [N] table (decode's x*d/dx derivative table) instead
+    of the rank-1 coset powers."""
+    y = _ntt_stages(y_ref[:], field, tw_r1_ref[:], r1,
+                    w3_r1_ref[:] if radix == 4 else None)
+    y = mul_prepared(field, y, pvec2_ref[0][:, :, None])
+    y = _ntt_stages(y, field, tw_c2_ref[:], r1,
+                    w3_c2_ref[:] if radix == 4 else None)
+    _col_epilogue(tw_c2_ref, seed2_ref, t02_ref, y, out_ref, field)
+
+
+def _pair_default_c(n: int) -> int:
+    """Balanced split for the fused pair: both transforms run one deep
+    and one shallow pass either way around (A1/B2 get c1, B1/A2 get r1),
+    so the asymmetric single-transform heuristic has nothing to bias."""
+    t = _log2(n)
+    return max(_TR, min(1 << ((t + 1) // 2), 1 << 11))
+
+
+def _pair_supported(n: int, lanes: int) -> bool:
+    c1 = _pair_default_c(n)
+    r1 = n // c1
+    return c1 >= _TR and r1 >= _TR and lanes % _TL == 0
+
+
+def ntt_pair_pallas(x, field: FieldSpec, pre_seed2: int | None = None,
+                    pre_vec1=None, pre_vec2=None, post_vec=None,
+                    sel_mask=None, sel_orig=None, interpret: bool = False,
+                    radix: int = 4, c_dim: int | None = None):
+    """NTT(iNTT(x)) along axis 0 of [N, L] — the two-transform shape of
+    BOTH codec hot paths — in three fused Pallas passes instead of four:
+    pass A1 (iNTT columns, N^-1 folded into the four-step table), the
+    seam (B1 stages + the transform-2 input multiply + A2 stages + A2
+    epilogue), and pass B2. The seam works because transform 2 runs the
+    SWAPPED split (c2, r2) = (r1, c1): transform-1 pass B's natural-order
+    output tile at seam grid step i (m' = k_c1 + c1*k_r1, axis 0 = k_r1)
+    IS transform-2 pass A's input tile (m = c2_idx*r2 + r2_idx with
+    c2_idx = k_r1, r2_idx = k_c1) — no relayout, no HBM round-trip.
+    (Single-chip twin of the distributed transposed-layout seam that cut
+    the sharded pipeline to 4 collectives — parallel/ntt_dist.py; same
+    algebra, the ICI handoff replaced by a VMEM no-op.)
+
+    The transform-2 input multiply is exactly one of ``pre_seed2=g``
+    (rank-1 coset powers g^m — RS encode) or ``pre_vec2`` (prepared
+    traced [N] table — decode's x*d/dx). ``pre_vec1`` fuses an input
+    multiply into pass A1 (decode's locator evaluations); ``post_vec`` /
+    ``sel_mask``/``sel_orig`` fuse the output multiply and erased-row
+    merge into pass B2 (same contracts as ntt_pallas). Bit-exact vs the
+    two staged ntt_auto transforms (test-enforced); reference parity
+    semantics per SURVEY.md §3.1 (the reference materializes the
+    intermediate in DRAM both times)."""
+    assert radix in (2, 4)
+    assert (pre_seed2 is None) != (pre_vec2 is None), (
+        "exactly one of pre_seed2/pre_vec2 (a no-multiply pair is the "
+        "identity)")
+    assert (sel_mask is None) == (sel_orig is None)
+    assert sel_mask is None or post_vec is not None, (
+        "the fused select requires post_vec")
+    n, lanes = x.shape
+    c1 = c_dim or _pair_default_c(n)
+    r1 = n // c1
+    c2, r2 = r1, c1
+    assert c1 * r1 == n and r1 >= _TR and c1 >= _TR and lanes % _TL == 0, (
+        f"pair path needs C1>={_TR}, R1>={_TR}, L%{_TL}==0 "
+        f"(N={n} -> C1={c1}, R1={r1}, L={lanes})")
+
+    inv, fwd = True, False
+    tw_c1 = jnp.asarray(_packed_stage_twiddles(field.name, c1, inv))[:, None]
+    w3_c1 = jnp.asarray(_packed_w3_twiddles(field.name, c1, inv))[:, None]
+    tw_r1 = jnp.asarray(_packed_stage_twiddles(field.name, r1, inv))[:, None]
+    w3_r1 = jnp.asarray(_packed_w3_twiddles(field.name, r1, inv))[:, None]
+    tw_c2 = jnp.asarray(_packed_stage_twiddles(field.name, c2, fwd))[:, None]
+    w3_c2 = jnp.asarray(_packed_w3_twiddles(field.name, c2, fwd))[:, None]
+    tw_r2 = jnp.asarray(_packed_stage_twiddles(field.name, r2, fwd))[:, None]
+    w3_r2 = jnp.asarray(_packed_w3_twiddles(field.name, r2, fwd))[:, None]
+    seed1, t01 = _colpass_seeds(field.name, n, c1, inv, True, _TR)
+    seed1 = jnp.asarray(seed1)[:, None]
+    t01 = jnp.asarray(t01).reshape(r1 // _TR, c1, 1)
+    seed2, t02 = _colpass_seeds(field.name, n, c2, fwd, False, _TR)
+    seed2 = jnp.asarray(seed2)[:, None]
+    t02 = jnp.asarray(t02).reshape(r2 // _TR, c2, 1)
+
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    # pass A1: iNTT columns (identical to ntt_pallas's pass A, incl. the
+    # optional fused input multiply)
+    a_specs = [
+        pl.BlockSpec((c1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c1, 1), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    a_args = [tw_c1, w3_c1, seed1, t01]
+    if pre_vec1 is not None:
+        kernel_a = functools.partial(_col_kernel_prevec, field=field, c=c1,
+                                     radix=radix)
+        pv1 = pre_vec1.reshape(c1, r1 // _TR, _TR).transpose(1, 0, 2)
+        a_specs.append(pl.BlockSpec((1, c1, _TR), lambda i, j: (i, 0, 0),
+                                    memory_space=pltpu.VMEM))
+        a_args.append(pv1)
+    else:
+        kernel_a = functools.partial(_col_kernel, field=field, c=c1,
+                                     radix=radix)
+    x3 = x.reshape(c1, r1, lanes)
+    col1 = pl.pallas_call(
+        kernel_a,
+        grid=(r1 // _TR, lanes // _TL),
+        in_specs=a_specs + [
+            pl.BlockSpec((c1, _TR, _TL), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TR, c1, _TL), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r1, c1, lanes), jnp.uint32),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(*a_args, x3)
+
+    # the seam: B1 + transform-2 input multiply + A2 (+ A2 epilogue)
+    s_specs = [
+        pl.BlockSpec((r1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c2, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c2, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c2, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c2, 1), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    s_args = [tw_r1, w3_r1, tw_c2, w3_c2, seed2, t02]
+    if pre_seed2 is not None:
+        pcol2, prow2 = _pre_mul_tables(field.name, pre_seed2 % field.p, c2,
+                                       r2, _TR)
+        kernel_s = functools.partial(_seam_kernel, field=field, r1=r1,
+                                     radix=radix)
+        s_specs += [
+            pl.BlockSpec((c2, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _TR), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        s_args += [jnp.asarray(pcol2)[:, None], jnp.asarray(prow2)]
+    else:
+        kernel_s = functools.partial(_seam_kernel_vec, field=field, r1=r1,
+                                     radix=radix)
+        pv2 = pre_vec2.reshape(c2, r2 // _TR, _TR).transpose(1, 0, 2)
+        s_specs.append(pl.BlockSpec((1, c2, _TR), lambda i, j: (i, 0, 0),
+                                    memory_space=pltpu.VMEM))
+        s_args.append(pv2)
+    col2 = pl.pallas_call(
+        kernel_s,
+        grid=(c1 // _TR, lanes // _TL),
+        in_specs=s_specs + [
+            pl.BlockSpec((r1, _TR, _TL), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TR, c2, _TL), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r2, c2, lanes), jnp.uint32),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(*s_args, col1)
+
+    # pass B2: rows of transform 2 (+ optional fused output multiply and
+    # erased-row merge); output is natural order
+    b_specs = [
+        pl.BlockSpec((r2, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r2, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    b_args = [tw_r2, w3_r2]
+    if post_vec is not None:
+        kernel_b = functools.partial(
+            _row_kernel_post_sel if sel_mask is not None else
+            _row_kernel_post, field=field, r=r2, radix=radix)
+        pv3 = post_vec.reshape(r2, c2 // _TR, _TR).transpose(1, 0, 2)
+        b_specs.append(pl.BlockSpec((1, r2, _TR), lambda i, j: (i, 0, 0),
+                                    memory_space=pltpu.VMEM))
+        b_args.append(pv3)
+        if sel_mask is not None:
+            m3 = sel_mask.reshape(r2, c2 // _TR, _TR).transpose(1, 0, 2)
+            b_specs.append(pl.BlockSpec((1, r2, _TR), lambda i, j: (i, 0, 0),
+                                        memory_space=pltpu.VMEM))
+            b_args.append(m3)
+            b_specs.append(pl.BlockSpec((r2, _TR, _TL),
+                                        lambda i, j: (0, i, j),
+                                        memory_space=pltpu.VMEM))
+            b_args.append(sel_orig.reshape(r2, c2, lanes))
+    else:
+        kernel_b = functools.partial(_row_kernel, field=field, r=r2,
+                                     radix=radix)
+    row = pl.pallas_call(
+        kernel_b,
+        grid=(c2 // _TR, lanes // _TL),
+        in_specs=b_specs + [
+            pl.BlockSpec((r2, _TR, _TL), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r2, _TR, _TL), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r2, c2, lanes), jnp.uint32),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(*b_args, col2)
+
+    return row.reshape(n, lanes)
+
+
+def ntt_coset_pair_pallas(x, field: FieldSpec, pre_seed: int,
+                          interpret: bool = False, radix: int = 4,
+                          c_dim: int | None = None):
+    """RS-encode specialization of :func:`ntt_pair_pallas`:
+    NTT_g-coset(iNTT(x)) with the coset multiply g^m as the seam's
+    rank-1 middle multiply. Bit-exact vs
+    ntt_auto(ntt_auto(x, inverse=True), pre_seed=g)."""
+    return ntt_pair_pallas(x, field, pre_seed2=pre_seed,
+                           interpret=interpret, radix=radix, c_dim=c_dim)

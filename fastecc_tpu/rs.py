@@ -146,8 +146,19 @@ def encode_parity(data, field: FieldSpec, n: int | None = None,
         return jnp.moveaxis(ys, 0, 1).reshape(n - k, data.shape[1])
     c = n // k
     rest = data.shape[1:]
-    coeffs = ntt_auto(data, field, inverse=True)
     w_n = field.root_of_order(n)
+    if c == 2:
+        from .kernels import ntt_mfa
+        if (data.ndim == 2 and jax.default_backend() == "tpu"
+                and ntt_mfa._pair_supported(k, data.shape[1])):
+            # rate-1/2 fast path: the whole iNTT_k -> coset NTT_k pair in
+            # THREE fused Pallas passes (transform-1 pass B and
+            # transform-2 pass A share one VMEM residency over the
+            # swapped-split seam) — 25% less HBM traffic than two
+            # independent transforms. Bit-exact vs the generic path
+            # below (test-enforced).
+            return ntt_mfa.ntt_coset_pair_pallas(data, field, w_n)
+    coeffs = ntt_auto(data, field, inverse=True)
     cosets = []
     for r in range(1, c):
         # coset r evaluation = NTT_k with the input multiplied by w_n^(r*m);

@@ -164,3 +164,77 @@ def test_pallas_split_choices_bit_exact(field, c_dim):
     want = np.asarray(ntt(x, field))
     got = np.asarray(ntt_pallas(x, field, interpret=True, c_dim=c_dim))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("n", [1 << 7, 1 << 8, 1 << 10])
+def test_seam_fused_coset_pair(field, n):
+    """The 3-pass seam-fused encode pair (iNTT -> coset NTT with
+    transform-1 pass B and transform-2 pass A fused over the
+    swapped-split seam) must be bit-exact vs the two staged transforms
+    — the RS encode fast path at rate 1/2 (rs.encode_parity)."""
+    from fastecc_tpu.kernels.ntt_mfa import ntt_coset_pair_pallas
+
+    x = jnp.asarray(rand_field(field, (n, 128)))
+    g = field.root_of_order(2 * n)
+    coeffs = ntt(x, field, inverse=True)
+    pre = jnp.asarray(
+        prepare_consts(field, powers_host(field, g, n))).reshape(n, 1)
+    want = np.asarray(ntt(mul_prepared(field, coeffs, pre), field))
+    got = np.asarray(ntt_coset_pair_pallas(x, field, g, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("merge", [True, False], ids=["merge", "raw"])
+def test_seam_fused_decode_pair(field, merge):
+    """The decode specialization of the seam-fused pair (pre_vec1 =
+    locator evaluations into pass A1, pre_vec2 = x*d/dx over the seam,
+    post_vec = Forney inverse derivative + erased-row merge in pass B2)
+    must be bit-exact vs the two staged ntt_auto transforms
+    (decode.decode_prepared's generic path) AND actually recover the
+    erased rows."""
+    from fastecc_tpu import rs
+    from fastecc_tpu.decode import (_xderiv_consts, decode_prepared,
+                                    prepare_decode_tables)
+    from fastecc_tpu.kernels.ntt_mfa import ntt_pair_pallas
+
+    n, k, lanes = 1 << 9, 1 << 8, 128
+    data = jnp.asarray(rand_field(field, (k, lanes)))
+    cw = rs.encode_jit(data, field, n)
+    erased = np.sort(RNG.choice(n, size=n - k, replace=False)).astype(
+        np.uint32)
+    corrupted = cw.at[jnp.asarray(erased)].set(0)
+    mask, l_eval, lp_inv = prepare_decode_tables(erased, n, field,
+                                                 locator="host")
+    want = np.asarray(decode_prepared(corrupted, mask, l_eval, lp_inv,
+                                      field, merge=merge))
+    dx = jnp.asarray(_xderiv_consts(field.name, n))
+    got = np.asarray(ntt_pair_pallas(
+        corrupted, field, pre_vec1=l_eval, pre_vec2=dx, post_vec=lp_inv,
+        sel_mask=mask if merge else None,
+        sel_orig=corrupted if merge else None, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    if merge:
+        np.testing.assert_array_equal(got, np.asarray(cw))
+    else:
+        np.testing.assert_array_equal(got[erased], np.asarray(cw)[erased])
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("c_dim", [32, 128])
+def test_seam_fused_pair_split_choices(field, c_dim):
+    """Non-default pair splits stay bit-exact (c2 = n/c1 by
+    construction; both orders of deep/shallow passes covered)."""
+    from fastecc_tpu.kernels.ntt_mfa import ntt_coset_pair_pallas
+
+    n = 1 << 10
+    x = jnp.asarray(rand_field(field, (n, 128)))
+    g = field.root_of_order(2 * n)
+    coeffs = ntt(x, field, inverse=True)
+    pre = jnp.asarray(
+        prepare_consts(field, powers_host(field, g, n))).reshape(n, 1)
+    want = np.asarray(ntt(mul_prepared(field, coeffs, pre), field))
+    got = np.asarray(
+        ntt_coset_pair_pallas(x, field, g, interpret=True, c_dim=c_dim))
+    np.testing.assert_array_equal(got, want)

@@ -18,6 +18,7 @@ the same chip and the numpy host twin:
   * the fused RS encode (pre_seed coset fusion inside pass A);
   * the fused decode epilogue (pre_vec/post_vec/sel merge in pass B)
     recovering a garbled codeword exactly;
+  * the seam-fused 3-pass encode pair vs the two staged transforms;
   * a shard_map-wrapped local transform (ntt_sharded on a 1-device TPU
     mesh — the Pallas-inside-shard_map lowering).
 
@@ -87,6 +88,17 @@ out = np.asarray(dec.decode_host_prepared(jnp.asarray(garbled), erased,
                                           GF32, k=k))
 np.testing.assert_array_equal(out, cw)
 print("FUSED-ENCODE-DECODE: OK")
+
+# seam-fused 3-pass encode pair vs the two staged transforms, compiled
+# in ONE program (rs.encode_parity's rate-1/2 fast path)
+from fastecc_tpu.kernels.ntt_mfa import ntt_coset_pair_pallas
+g32 = GF32.root_of_order(2 * n)
+pair = jax.jit(lambda v: (
+    ntt_coset_pair_pallas(v, GF32, g32),
+    ntt_pallas(ntt_pallas(v, GF32, inverse=True), GF32, pre_seed=g32)))
+pa, pb = pair(jnp.asarray(cw))
+np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+print("SEAM-PAIR: OK")
 
 # shard_map-wrapped local transform on a real-chip mesh
 from fastecc_tpu.parallel import make_mesh
