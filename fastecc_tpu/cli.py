@@ -156,13 +156,28 @@ def cmd_ntt_bench(args):
 
 
 def cmd_rs_bench(args):
+    """RS encode throughput. ``--seam on/off`` A/Bs the 3-pass
+    seam-fused transform pair against the two staged transforms
+    (bit-exact paths; DESIGN.md §2), ``--pair-c-dim`` sweeps the pair's
+    four-step split; ``auto`` is the production dispatch."""
     import jax, jax.numpy as jnp
     from . import rs
     from .utils.timer import time_fn
     field = _field(args.field)
     k, n = 1 << args.lg_k, 1 << (args.lg_k + 1)
     x = jnp.asarray(_rand(field, (k, args.lanes)))
-    fn = jax.jit(lambda v: rs.encode_parity(v, field, n))
+    if args.seam == "on":
+        from .kernels import ntt_mfa
+        w_n = field.root_of_order(n)
+        fn = jax.jit(lambda v: ntt_mfa.ntt_coset_pair_pallas(
+            v, field, w_n, c_dim=args.pair_c_dim))
+    elif args.seam == "off":
+        from .ntt import ntt_auto
+        w_n = field.root_of_order(n)
+        fn = jax.jit(lambda v: ntt_auto(
+            ntt_auto(v, field, inverse=True), field, pre_seed=w_n))
+    else:
+        fn = jax.jit(lambda v: rs.encode_parity(v, field, n))
     secs = time_fn(fn, x, iters=args.iters)
     # wire-format word size (GF16 lanes are 2-byte words on the wire);
     # report both the codeword-bytes and the computed-parity-bytes rate
@@ -171,7 +186,7 @@ def cmd_rs_bench(args):
     pgb = (n - k) * args.lanes * wb / 1e9
     print(json.dumps({"op": "rs_encode", "field": field.name,
                       "k": k, "n": n, "lanes": args.lanes,
-                      "wire_word_bytes": wb,
+                      "wire_word_bytes": wb, "seam": args.seam,
                       "seconds": round(secs, 4),
                       "gb_per_sec": round(gb / secs, 2),
                       "parity_gb_per_sec": round(pgb / secs, 2)}))
@@ -304,10 +319,21 @@ def cmd_encode(args):
     assert args.block_bytes > 0, "--block-bytes must be positive"
     _word_count(field, args.block_bytes)   # loud word-alignment check
     max_resident = args.max_resident << 20
+    from . import storage
+    total_blocks = max(1, -(-src.stat().st_size // args.block_bytes))
+    if total_blocks > storage.stripe_capacity_blocks(field):
+        # beyond one codeword's capacity (n = 2k caps at the transform
+        # order): stripe across self-contained codeword subdirectories
+        man = storage.encode_file(
+            src, out, field, block_bytes=args.block_bytes,
+            max_resident_bytes=max_resident)
+        print(f"encoded {src} ({man['size']} bytes, "
+              f"{len(man['stripes'])} stripes x {man['stripe_blocks']} "
+              f"data blocks, streamed) -> {out}")
+        return 0
     if src.stat().st_size > max_resident:
         # out-of-core path: memmap + lane-chunk streaming (storage.py);
         # output directory is bit-identical to the in-core path below
-        from . import storage
         man = storage.encode_file_stream(
             src, out, field, block_bytes=args.block_bytes,
             max_resident_bytes=max_resident)
@@ -352,13 +378,22 @@ def _codeword_bytes(man) -> int:
 
 def cmd_recover(args):
     from . import decode as dec
+    from . import storage
     src = pathlib.Path(args.dir)
     man = json.loads((src / "manifest.json").read_text())
+    if storage.is_striped(man):
+        wrote = storage.recover_file(
+            src, pathlib.Path(args.out),
+            max_resident_bytes=args.max_resident << 20,
+            check=args.check, progress=print)
+        print(f"recovered {man['file']} -> {args.out} ({man['size']} "
+              f"bytes, {len(man['stripes'])} stripes, {wrote} blocks "
+              f"reconstructed)")
+        return 0
     field = _field(man["field"])
     n, k, size = man["n"], man["k"], man["size"]
     out = pathlib.Path(args.out)
     if _codeword_bytes(man) > args.max_resident << 20:
-        from . import storage
         wrote = storage.recover_file_stream(
             src, out, max_resident_bytes=args.max_resident << 20,
             check=args.check, progress=print)
@@ -398,11 +433,16 @@ def cmd_check(args):
     from . import rs
     src = pathlib.Path(args.dir)
     man = json.loads((src / "manifest.json").read_text())
+    from . import storage
+    if storage.is_striped(man):
+        report, rc = storage.check_file(
+            src, max_resident_bytes=args.max_resident << 20)
+        print(json.dumps(report))
+        return rc
     field = _field(man["field"])
     n, k = man["n"], man["k"]
     bb = man.get("block_bytes", 4096)
     if _codeword_bytes(man) > args.max_resident << 20:
-        from . import storage
         report, rc = storage.check_file_stream(
             src, max_resident_bytes=args.max_resident << 20)
         print(json.dumps(report))
@@ -461,12 +501,19 @@ def cmd_repair(args):
     from . import host, packing, rs
     src = pathlib.Path(args.dir)
     man = json.loads((src / "manifest.json").read_text())
+    from . import storage
+    if storage.is_striped(man):
+        wrote = storage.recover_file(
+            src, None, max_resident_bytes=args.max_resident << 20,
+            repair=True, check=True, progress=print)
+        print(f"repaired {wrote} blocks in {src} "
+              f"({len(man['stripes'])} stripes)")
+        return 0
     field = _field(man["field"])
     n, k = man["n"], man["k"]
     bb = man.get("block_bytes", 4096)
     tags = man.get("crc32c") or {}
     if _codeword_bytes(man) > args.max_resident << 20:
-        from . import storage
         wrote = storage.recover_file_stream(
             src, None, max_resident_bytes=args.max_resident << 20,
             repair=True, check=True, progress=print)
@@ -651,6 +698,11 @@ def main(argv=None):
     p.add_argument("--lg-k", type=int, default=19)
     p.add_argument("--lanes", type=int, default=1024)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--seam", default="auto", choices=["auto", "on", "off"],
+                   help="A/B the 3-pass seam-fused pair vs the staged "
+                        "transforms (auto = production dispatch)")
+    p.add_argument("--pair-c-dim", type=int, default=None,
+                   help="four-step split override for --seam on")
     p.set_defaults(fn=cmd_rs_bench)
 
     p = sub.add_parser("decode-bench", help="erasure decode throughput")

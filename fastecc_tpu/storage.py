@@ -30,6 +30,11 @@ Design (GF32; GF16 differs only in having no data-side escape bitmap):
 Peak host memory is O(k * chunk + row_batch * lanes), independent of the
 file size. Throughput is host-IO/link-bound by design; on-device compute
 overlaps (see rs.encode_parity_stream notes).
+
+Files beyond one codeword's capacity (k <= 2**(max_log2-1) data blocks —
+2 GiB at 4 KB blocks for GF32) STRIPE across consecutive self-contained
+codeword subdirectories under a v2 top-level manifest; see
+encode_file/recover_file/check_file at the bottom of this module.
 """
 
 from __future__ import annotations
@@ -111,13 +116,25 @@ def _iter_block_cols(mm: np.memmap, size: int, k: int, block_bytes: int,
     return out
 
 
+def stripe_capacity_blocks(field: FieldSpec) -> int:
+    """Max data blocks one codeword can carry: n = 2k must fit the
+    field's transform order (n <= 2**max_log2), so k <= 2**(max_log2-1)
+    — 2^19 blocks (2 GiB at 4 KB) for GF32, 2^15 for GF16. Files larger
+    than one codeword stripe across several (see encode_file)."""
+    return 1 << (field.max_log2 - 1)
+
+
 def encode_file_stream(path, out_dir, field: FieldSpec,
                        block_bytes: int = packing.BLOCK_BYTES,
                        max_resident_bytes: int =
                        DEFAULT_MAX_RESIDENT_MB << 20,
-                       chunk_words: int | None = None) -> dict:
+                       chunk_words: int | None = None,
+                       _offset: int = 0, _size: int | None = None) -> dict:
     """Streaming encode of ``path`` into ``out_dir`` (wire format v1,
-    bit-identical to the in-core cli encode). Returns the manifest."""
+    bit-identical to the in-core cli encode). Returns the manifest.
+
+    ``_offset``/``_size`` select a byte window of the file (used by the
+    striped path; the window is memmap-sliced, never loaded)."""
     import jax.numpy as jnp
 
     from . import host, rs
@@ -126,8 +143,12 @@ def encode_file_stream(path, out_dir, field: FieldSpec,
     out_dir.mkdir(parents=True, exist_ok=True)
     wb = _word_bytes(field)
     words = packing._word_count(field, block_bytes)
-    size = path.stat().st_size
+    size = path.stat().st_size - _offset if _size is None else _size
     k = _next_pow2(max(1, -(-size // block_bytes)))
+    assert k <= stripe_capacity_blocks(field), (
+        f"{size} bytes is {k} blocks > the {field.name} single-codeword "
+        f"capacity {stripe_capacity_blocks(field)}; use encode_file "
+        f"(striped) for larger files")
     n = 2 * k
     lanes = packing.field_lanes(field, block_bytes)
     cw = chunk_words or _plan_word_chunk(field, k, words,
@@ -137,8 +158,8 @@ def encode_file_stream(path, out_dir, field: FieldSpec,
         f"word chunk {cw} must divide words={words} and align to 16-word "
         f"bitmap groups (or cover the whole axis)")
 
-    mm = np.memmap(path, dtype=np.uint8, mode="r") if size else \
-        np.zeros(0, np.uint8)
+    mm = np.memmap(path, dtype=np.uint8, mode="r")[
+        _offset:_offset + size] if size else np.zeros(0, np.uint8)
     stage_path = out_dir / ".parity.stage"
     pstage = np.memmap(stage_path, dtype=np.uint32, mode="w+",
                        shape=(k, lanes))
@@ -248,7 +269,8 @@ def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
                         chunk_lanes: int | None = None,
                         repair: bool = False,
                         check: bool = False,
-                        progress=lambda s: None) -> int:
+                        progress=lambda s: None,
+                        _fh=None) -> int:
     """Streaming recover (``repair=False``: rebuild the original file) or
     repair (``repair=True``: rewrite every missing block file) from a
     coded directory, never materializing the [n, lanes] codeword in RAM.
@@ -296,7 +318,7 @@ def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
         return _recover_staged(
             cstage, d_items, p_items, dpos, src_dir, out_path, man, field,
             n, k, bb, lanes, tags, max_resident_bytes, chunk_lanes,
-            repair, check, progress)
+            repair, check, progress, _fh)
     finally:
         del cstage
         stage_path.unlink(missing_ok=True)
@@ -304,7 +326,8 @@ def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
 
 def _recover_staged(cstage, d_items, p_items, dpos, src_dir, out_path,
                     man, field, n, k, bb, lanes, tags, max_resident_bytes,
-                    chunk_lanes, repair, check, progress) -> int:
+                    chunk_lanes, repair, check, progress,
+                    _fh=None) -> int:
     import jax.numpy as jnp
 
     from . import decode as dec
@@ -399,9 +422,9 @@ def _recover_staged(cstage, d_items, p_items, dpos, src_dir, out_path,
                      f"CRCs")
     else:
         size = man["size"]
-        out_path = pathlib.Path(out_path)
         drows = rs.data_positions(n, k)
-        with open(out_path, "wb") as fh:
+
+        def emit(fh):
             remaining = size
             batch = 256
             for s in range(0, k, batch):
@@ -413,6 +436,12 @@ def _recover_staged(cstage, d_items, p_items, dpos, src_dir, out_path,
                 take = min(remaining, raw.size)
                 fh.write(raw[:take].tobytes())
                 remaining -= take
+
+        if _fh is not None:       # striped path: append to the open file
+            emit(_fh)
+        else:
+            with open(pathlib.Path(out_path), "wb") as fh:
+                emit(fh)
     return wrote
 
 
@@ -525,6 +554,129 @@ def check_file_stream(src_dir, max_resident_bytes: int =
         "recoverable": recoverable,
         "status": status, "streamed": True}
     return report, rc
+
+
+# ---------------------------------------------------------------------------
+# Striping: files beyond one codeword's capacity (SURVEY.md §6 "millions
+# of 4KB blocks"). One RS codeword carries at most 2**(max_log2-1) data
+# blocks (the transform order caps n = 2k), i.e. 2 GiB at 4 KB blocks
+# for GF32. Larger files split into consecutive byte stripes, each its
+# own fully self-contained v1 codeword directory (stripe_0000/,
+# stripe_0001/, ... — every per-codeword tool works on one unchanged),
+# tied together by a top-level v2 manifest. Loss tolerance is per
+# stripe: any k of each stripe's n blocks suffice, matching the
+# reference's per-invocation codeword semantics (SURVEY.md §2 C17: the
+# reference CLI also processes one codeword per run).
+# ---------------------------------------------------------------------------
+
+STRIPED_FORMAT = "fastecc-tpu-v2-striped"
+
+
+def is_striped(manifest: dict) -> bool:
+    return manifest.get("format") == STRIPED_FORMAT
+
+
+def encode_file(path, out_dir, field: FieldSpec,
+                block_bytes: int = packing.BLOCK_BYTES,
+                max_resident_bytes: int = DEFAULT_MAX_RESIDENT_MB << 20,
+                stripe_blocks: int | None = None) -> dict:
+    """Capacity-aware streaming encode: files that fit one codeword get
+    the single-codeword v1 layout (bit-identical to encode_file_stream /
+    the in-core cli path); larger files stripe across consecutive
+    codeword subdirectories. Returns the (top-level) manifest.
+
+    ``stripe_blocks`` overrides the per-stripe data-block capacity
+    (power of two, <= the field capacity; tests use small values)."""
+    path, out_dir = pathlib.Path(path), pathlib.Path(out_dir)
+    cap = stripe_blocks or stripe_capacity_blocks(field)
+    assert cap & (cap - 1) == 0 and cap <= stripe_capacity_blocks(field), (
+        f"stripe_blocks must be a power of two <= "
+        f"{stripe_capacity_blocks(field)}, got {cap}")
+    size = path.stat().st_size
+    total_blocks = max(1, -(-size // block_bytes))
+    if total_blocks <= cap:
+        return encode_file_stream(path, out_dir, field, block_bytes,
+                                  max_resident_bytes)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sb = cap * block_bytes
+    n_stripes = -(-size // sb)
+    stripes = []
+    for s in range(n_stripes):
+        off = s * sb
+        ssize = min(sb, size - off)
+        man = encode_file_stream(
+            path, out_dir / f"stripe_{s:04d}", field, block_bytes,
+            max_resident_bytes, _offset=off, _size=ssize)
+        stripes.append({"dir": f"stripe_{s:04d}", "size": ssize,
+                        "k": man["k"], "n": man["n"]})
+    top = {"format": STRIPED_FORMAT, "file": path.name, "size": size,
+           "field": field.name, "block_bytes": block_bytes,
+           "stripe_blocks": cap, "stripes": stripes}
+    (out_dir / "manifest.json").write_text(json.dumps(top))
+    return top
+
+
+def recover_file(src_dir, out_path, max_resident_bytes: int =
+                 DEFAULT_MAX_RESIDENT_MB << 20,
+                 chunk_lanes: int | None = None,
+                 repair: bool = False, check: bool = False,
+                 progress=lambda s: None) -> int:
+    """Striping-aware recover/repair: dispatches on the manifest format.
+    Striped recovery streams each stripe's decode and appends its bytes
+    to ``out_path`` in order — at no point is more than one stripe's
+    staging working set resident. Returns total blocks reconstructed."""
+    src_dir = pathlib.Path(src_dir)
+    man = json.loads((src_dir / "manifest.json").read_text())
+    if not is_striped(man):
+        return recover_file_stream(src_dir, out_path, max_resident_bytes,
+                                   chunk_lanes, repair, check, progress)
+    wrote = 0
+    if repair:
+        for st in man["stripes"]:
+            progress(f"repairing {st['dir']}")
+            wrote += recover_file_stream(
+                src_dir / st["dir"], None, max_resident_bytes,
+                chunk_lanes, repair=True, check=check, progress=progress)
+        return wrote
+    with open(pathlib.Path(out_path), "wb") as fh:
+        for st in man["stripes"]:
+            progress(f"recovering {st['dir']}")
+            wrote += recover_file_stream(
+                src_dir / st["dir"], None, max_resident_bytes,
+                chunk_lanes, check=check, progress=progress, _fh=fh)
+    return wrote
+
+
+def check_file(src_dir, max_resident_bytes: int =
+               DEFAULT_MAX_RESIDENT_MB << 20,
+               chunk_lanes: int | None = None):
+    """Striping-aware audit. For a striped directory, audits every
+    stripe and aggregates: the combined exit code is the most severe
+    per-stripe code (0 healthy < 1 degraded < 2 unrecoverable < 3
+    inconsistent-unlocatable), and the report nests the per-stripe
+    reports. Single-codeword directories defer to check_file_stream."""
+    src_dir = pathlib.Path(src_dir)
+    man = json.loads((src_dir / "manifest.json").read_text())
+    if not is_striped(man):
+        return check_file_stream(src_dir, max_resident_bytes, chunk_lanes)
+    sub = []
+    worst = 0
+    for st in man["stripes"]:
+        rep, rc = check_file_stream(src_dir / st["dir"],
+                                    max_resident_bytes, chunk_lanes)
+        rep["stripe"] = st["dir"]
+        sub.append(rep)
+        worst = max(worst, rc)
+    status = {0: "healthy", 1: "degraded", 2: "unrecoverable",
+              3: "inconsistent"}[worst]
+    report = {
+        "striped": True, "stripes": sub,
+        "n": sum(r["n"] for r in sub), "k": sum(r["k"] for r in sub),
+        "present": sum(r["present"] for r in sub),
+        "recoverable": all(r["recoverable"] for r in sub)
+        if all(r["recoverable"] is not None for r in sub) else None,
+        "status": status}
+    return report, worst
 
 
 def _streamed_locate(cstage, erased, field, n, k, lanes, cl,

@@ -137,12 +137,18 @@ def pipeline_roofline(field_name: str, transform_len: int, lanes: int,
 
 
 def encode_roofline(n_blocks: int, lanes: int, peaks: dict | None = None,
-                    field_name: str = "GF32"):
+                    field_name: str = "GF32", seam: bool = True):
     """RS-encode speed-of-light (coset fast path: iNTT_k + coset NTT_k,
-    two fused two-pass transforms over [k, lanes]; 3 extra multiplies per
-    element = 2 four-step epilogues + 1 coset pre-multiply). GB/s is in
-    codeword bytes (n * lanes * 4)."""
+    3 extra multiplies per element = 2 four-step epilogues + 1 coset
+    pre-multiply). With ``seam`` (the production rate-1/2 path since
+    round 3) the two transforms run as THREE fused HBM passes — pass B
+    of the iNTT and pass A of the coset NTT share one VMEM residency
+    over the swapped-split seam (kernels/ntt_mfa.ntt_pair_pallas) — so
+    the memory bound prices 3 read+write passes, not 4. ``seam=False``
+    gives the staged-transform bound (the generic-rate path and the
+    round-2 model). GB/s is in codeword bytes (n * lanes * 4)."""
     k = n_blocks // 2
     return pipeline_roofline(
         field_name, k, lanes, n_transforms=2, extra_mulmods_per_elem=3.0,
-        hbm_passes=4.0, out_bytes=n_blocks * lanes * 4, peaks=peaks)
+        hbm_passes=3.0 if seam else 4.0,
+        out_bytes=n_blocks * lanes * 4, peaks=peaks)

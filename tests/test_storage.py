@@ -332,6 +332,103 @@ def test_check_stream_flags_crc_and_size(tmp_path):
     assert sorted(report["missing_or_corrupt"]) == sorted([p0, p1])
 
 
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_striped_encode_recover_roundtrip(tmp_path, field):
+    """A file beyond one codeword's capacity (override: 8 blocks/stripe)
+    stripes into self-contained v1 codeword dirs; recover reassembles
+    bit-exactly after max per-stripe loss (half of each stripe)."""
+    src = _make_file(tmp_path, 21 * 4096 + 123, name="big.bin")  # 22 blk
+    out = tmp_path / "coded"
+    man = storage.encode_file(src, out, field, stripe_blocks=8)
+    assert storage.is_striped(man)
+    assert [st["dir"] for st in man["stripes"]] == [
+        "stripe_0000", "stripe_0001", "stripe_0002"]
+    assert sum(st["size"] for st in man["stripes"]) == man["size"]
+    dropped = 0
+    for st in man["stripes"]:
+        d = out / st["dir"]
+        sman = json.loads((d / "manifest.json").read_text())
+        assert sman["format"] == "fastecc-tpu-v1"
+        assert (sman["k"], sman["n"]) == (st["k"], st["n"])
+        files = sorted(d.glob("block_*.dat")) + \
+            sorted(d.glob("block_*.par"))
+        assert len(files) == st["n"]
+        for i in RNG.choice(len(files), size=st["n"] - st["k"],
+                            replace=False):
+            files[i].unlink()
+            dropped += 1
+    dst = tmp_path / "big.back"
+    wrote = storage.recover_file(out, dst, chunk_lanes=64)
+    assert wrote == dropped
+    assert dst.read_bytes() == src.read_bytes()
+
+
+def test_striped_single_stripe_is_plain_v1(tmp_path):
+    """encode_file on a file that FITS one codeword must produce the
+    plain v1 layout (no stripe dirs, bit-identical to
+    encode_file_stream) — striping never changes the small-file wire."""
+    src = _make_file(tmp_path, 3 * 4096 + 5, name="small.bin")
+    a, b = tmp_path / "plain", tmp_path / "via_encode_file"
+    storage.encode_file_stream(src, a, GF32)
+    man = storage.encode_file(src, b, GF32)
+    assert not storage.is_striped(man)
+    assert sorted(p.name for p in a.iterdir()) == \
+        sorted(p.name for p in b.iterdir())
+    for f in sorted(a.iterdir()):
+        assert f.read_bytes() == (b / f.name).read_bytes(), f.name
+
+
+def test_striped_cli_check_repair_recover(tmp_path):
+    """CLI check/repair/recover must dispatch on the striped manifest:
+    degraded stripe -> rc 1; repair restores every file; check -> 0;
+    recover reassembles bit-exactly."""
+    src = _make_file(tmp_path, 13 * 4096 + 7, name="cli.bin")
+    out = tmp_path / "coded"
+    storage.encode_file(src, out, GF32, stripe_blocks=4)
+    victims = sorted((out / "stripe_0001").glob("block_*.par"))[:2]
+    blobs = {v.name: v.read_bytes() for v in victims}
+    for v in victims:
+        v.unlink()
+    assert cli.main(["check", str(out)]) == 1          # degraded stripe
+    assert cli.main(["repair", str(out)]) == 0
+    for name, blob in blobs.items():
+        assert (out / "stripe_0001" / name).read_bytes() == blob
+    assert cli.main(["check", str(out)]) == 0          # healthy again
+    dst = tmp_path / "cli.back"
+    assert cli.main(["recover", str(out), "-o", str(dst)]) == 0
+    assert dst.read_bytes() == src.read_bytes()
+
+
+def test_striped_check_aggregates_worst_stripe(tmp_path):
+    """check_file must surface the most severe per-stripe state: one
+    unrecoverable stripe makes the whole directory rc 2 even when other
+    stripes are healthy."""
+    src = _make_file(tmp_path, 11 * 4096, name="agg.bin")
+    out = tmp_path / "coded"
+    man = storage.encode_file(src, out, GF32, stripe_blocks=4)
+    d = out / "stripe_0001"
+    files = sorted(d.glob("block_*.dat")) + sorted(d.glob("block_*.par"))
+    st = man["stripes"][1]
+    for f in files[: st["n"] - st["k"] + 1]:
+        f.unlink()
+    report, rc = storage.check_file(out)
+    assert (rc, report["status"]) == (2, "unrecoverable")
+    assert report["striped"] and len(report["stripes"]) == 3
+    per = {r["stripe"]: r["status"] for r in report["stripes"]}
+    assert per["stripe_0001"] == "unrecoverable"
+    assert per["stripe_0000"] == per["stripe_0002"] == "healthy"
+
+
+def test_single_codeword_capacity_assert(tmp_path):
+    """encode_file_stream must refuse a file beyond one codeword's
+    capacity with a message pointing at the striped path (GF16 cap is
+    2^15 data blocks; 2-byte blocks keep the check cheap)."""
+    src = _make_file(tmp_path, (1 << 16) + 2, name="cap.bin")
+    with pytest.raises(AssertionError, match="striped"):
+        storage.encode_file_stream(src, tmp_path / "x", GF16,
+                                   block_bytes=2)
+
+
 def test_plan_word_chunk_warns_on_unaligned_budget_blowout():
     """An odd GF32 block size (words not a multiple of 16) has no
     aligned chunking; when the whole-axis fallback exceeds the residency

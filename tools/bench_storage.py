@@ -40,8 +40,14 @@ def main() -> int:
                     help="residency budget handed to the planner")
     ap.add_argument("--workdir", default=".bench_io")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon plugin ignores "
+                         "JAX_PLATFORMS; must be set before first use)")
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from fastecc_tpu import storage
     from fastecc_tpu.fields import GF32
 
@@ -67,10 +73,11 @@ def main() -> int:
     if coded.exists():
         shutil.rmtree(coded)
     t0 = time.perf_counter()
-    man = storage.encode_file_stream(
+    man = storage.encode_file(
         src, coded, GF32,
         max_resident_bytes=args.max_resident_mb << 20)
     dt = time.perf_counter() - t0
+    striped = storage.is_striped(man)
     print(json.dumps({
         "op": "encode_file_stream", "bytes": size,
         "seconds": round(dt, 1),
@@ -78,21 +85,26 @@ def main() -> int:
         "max_resident_mb_budget": args.max_resident_mb,
         "rss_high_water_mb": _rss_mb(),
         "rss_before_mb": base_rss,
-        "k": man["k"], "n": man["n"]}), flush=True)
+        "stripes": len(man["stripes"]) if striped else 1,
+        "k": man["stripe_blocks"] if striped else man["k"],
+        "n": 2 * man["stripe_blocks"] if striped else man["n"]}),
+        flush=True)
 
-    # drop the maximum recoverable loss: all data blocks beyond what
-    # parity can carry... keep it simple and hard: delete HALF the
-    # files (n-k of n), mixed kinds
-    files = sorted(coded.glob("block_*.dat")) + \
-        sorted(coded.glob("block_*.par"))
-    drop = np.random.default_rng(1).choice(
-        len(files), size=man["n"] - man["k"], replace=False)
-    for i in drop:
-        files[i].unlink()
+    # drop the maximum recoverable loss per codeword: delete HALF the
+    # files (n-k of n) in every stripe, mixed kinds
+    dirs = [coded / st["dir"] for st in man["stripes"]] if striped \
+        else [coded]
+    rng = np.random.default_rng(1)
+    for d in dirs:
+        files = sorted(d.glob("block_*.dat")) + \
+            sorted(d.glob("block_*.par"))
+        for i in rng.choice(len(files), size=len(files) // 2,
+                            replace=False):
+            files[i].unlink()
 
     back = wd / "recovered.bin"
     t0 = time.perf_counter()
-    wrote = storage.recover_file_stream(
+    wrote = storage.recover_file(
         coded, back, max_resident_bytes=args.max_resident_mb << 20)
     dt = time.perf_counter() - t0
     print(json.dumps({
