@@ -172,10 +172,10 @@ def cmd_rs_bench(args):
         fn = jax.jit(lambda v: ntt_mfa.ntt_coset_pair_pallas(
             v, field, w_n, c_dim=args.pair_c_dim))
     elif args.seam == "off":
-        from .ntt import ntt_auto
-        w_n = field.root_of_order(n)
-        fn = jax.jit(lambda v: ntt_auto(
-            ntt_auto(v, field, inverse=True), field, pre_seed=w_n))
+        # identical production call path with the pair dispatch disabled
+        from .kernels import ntt_mfa
+        ntt_mfa.PAIR_ENABLED = False
+        fn = jax.jit(lambda v: rs.encode_parity(v, field, n))
     else:
         fn = jax.jit(lambda v: rs.encode_parity(v, field, n))
     secs = time_fn(fn, x, iters=args.iters)
@@ -201,6 +201,11 @@ def cmd_decode_bench(args):
     from . import rs
     from .utils.timer import time_fn
     field = _field(args.field)
+    if getattr(args, "seam", "auto") == "off":
+        # A/B switch: disable the 3-pass seam-fused pair so the staged
+        # transforms run on the identical decode_prepared call path
+        from .kernels import ntt_mfa
+        ntt_mfa.PAIR_ENABLED = False
     n, e = 1 << args.lg_n, 1 << args.lg_e
     assert e < n
     k = n // 2
@@ -714,6 +719,9 @@ def main(argv=None):
     p.add_argument("--device-locator", action="store_true",
                    help="build the locator on-device (jit-composable "
                         "path) instead of the host-prepared fast path")
+    p.add_argument("--seam", default="auto", choices=["auto", "off"],
+                   help="off disables the 3-pass seam-fused pair for an "
+                        "A/B on the identical decode call path")
     p.set_defaults(fn=cmd_decode_bench)
 
     p = sub.add_parser("encode", help="encode a file into data+parity blocks")

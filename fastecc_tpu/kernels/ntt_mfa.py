@@ -515,10 +515,18 @@ def _pair_default_c(n: int) -> int:
     return max(_TR, min(1 << ((t + 1) // 2), 1 << 11))
 
 
+# Dispatch switch for the seam-fused pair fast path (rs.encode_parity /
+# decode.decode_prepared consult it via _pair_supported). Benchmarks flip
+# it to A/B the 3-pass pair against the staged transforms on identical
+# call paths (cli rs-bench/decode-bench --seam off); production leaves it.
+PAIR_ENABLED = True
+
+
 def _pair_supported(n: int, lanes: int) -> bool:
     c1 = _pair_default_c(n)
     r1 = n // c1
-    return c1 >= _TR and r1 >= _TR and lanes % _TL == 0
+    return (PAIR_ENABLED and c1 >= _TR and r1 >= _TR
+            and lanes % _TL == 0)
 
 
 def ntt_pair_pallas(x, field: FieldSpec, pre_seed2: int | None = None,
