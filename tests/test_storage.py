@@ -419,6 +419,32 @@ def test_striped_check_aggregates_worst_stripe(tmp_path):
     assert per["stripe_0000"] == per["stripe_0002"] == "healthy"
 
 
+@pytest.mark.parametrize("field,extra", [(GF32, 1), (GF32, 4097),
+                                         (GF16, 3)],
+                         ids=["gf32-1byte-tail", "gf32-2block-tail",
+                              "gf16-1byte-tail"])
+def test_striped_one_block_tail_stripe(tmp_path, field, extra):
+    """A tail stripe of a single (partial) block must round-trip: k=1
+    means an order-2 transform — the smallest codeword the codec can
+    emit — and the stripe still survives its max loss (n-k drops)."""
+    size = 4 * 4096 + extra
+    src = _make_file(tmp_path, size, name="tail.bin")
+    out = tmp_path / "coded"
+    man = storage.encode_file(src, out, field, stripe_blocks=4)
+    assert [st["k"] for st in man["stripes"]] == [4, 2 if extra > 4096
+                                                 else 1]
+    for st in man["stripes"]:
+        d = out / st["dir"]
+        files = sorted(d.glob("block_*.dat")) + \
+            sorted(d.glob("block_*.par"))
+        for i in RNG.choice(len(files), size=st["n"] - st["k"],
+                            replace=False):
+            files[i].unlink()
+    dst = tmp_path / "tail.back"
+    storage.recover_file(out, dst)
+    assert dst.read_bytes() == src.read_bytes()
+
+
 def test_single_codeword_capacity_assert(tmp_path):
     """encode_file_stream must refuse a file beyond one codeword's
     capacity with a message pointing at the striped path (GF16 cap is
