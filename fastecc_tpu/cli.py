@@ -31,6 +31,7 @@ and reconstructs FILE from any >= k survivors.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import pathlib
 import sys
@@ -155,6 +156,22 @@ def cmd_ntt_bench(args):
     return 0
 
 
+@contextlib.contextmanager
+def _seam_dispatch(mode: str):
+    """Scope the PAIR_ENABLED A/B switch to one bench command: the flag
+    is read at TRACE time, so leaving it flipped would silently demote
+    every later encode/decode in the same process (e.g. an in-process
+    cli.main sequence) to the 4-pass staged path."""
+    from .kernels import ntt_mfa
+    prev = ntt_mfa.PAIR_ENABLED
+    if mode == "off":
+        ntt_mfa.PAIR_ENABLED = False
+    try:
+        yield
+    finally:
+        ntt_mfa.PAIR_ENABLED = prev
+
+
 def cmd_rs_bench(args):
     """RS encode throughput. ``--seam on/off`` A/Bs the 3-pass
     seam-fused transform pair against the two staged transforms
@@ -171,14 +188,12 @@ def cmd_rs_bench(args):
         w_n = field.root_of_order(n)
         fn = jax.jit(lambda v: ntt_mfa.ntt_coset_pair_pallas(
             v, field, w_n, c_dim=args.pair_c_dim))
-    elif args.seam == "off":
-        # identical production call path with the pair dispatch disabled
-        from .kernels import ntt_mfa
-        ntt_mfa.PAIR_ENABLED = False
-        fn = jax.jit(lambda v: rs.encode_parity(v, field, n))
     else:
+        # identical production call path; "off" disables the pair
+        # dispatch for this command only (restored on exit)
         fn = jax.jit(lambda v: rs.encode_parity(v, field, n))
-    secs = time_fn(fn, x, iters=args.iters)
+    with _seam_dispatch(args.seam):
+        secs = time_fn(fn, x, iters=args.iters)
     # wire-format word size (GF16 lanes are 2-byte words on the wire);
     # report both the codeword-bytes and the computed-parity-bytes rate
     wb = 4 if field.use_mont else 2
@@ -201,11 +216,6 @@ def cmd_decode_bench(args):
     from . import rs
     from .utils.timer import time_fn
     field = _field(args.field)
-    if getattr(args, "seam", "auto") == "off":
-        # A/B switch: disable the 3-pass seam-fused pair so the staged
-        # transforms run on the identical decode_prepared call path
-        from .kernels import ntt_mfa
-        ntt_mfa.PAIR_ENABLED = False
     n, e = 1 << args.lg_n, 1 << args.lg_e
     assert e < n
     k = n // 2
@@ -221,23 +231,29 @@ def cmd_decode_bench(args):
     garbled[erased] = _rand(field, (e, args.lanes), seed=args.seed + 1)
     gj = jnp.asarray(garbled)
     loc_secs = None
-    if args.device_locator:
-        fn = jax.jit(lambda c, idx: dec.decode(c, idx, field, k=k))
-        secs = time_fn(fn, gj, jnp.asarray(erased), iters=args.iters)
-        out = np.asarray(fn(gj, jnp.asarray(erased)))
-        locator = "fused-device"
-    else:
-        # product path: build the locator tables ONCE (their one-time cost
-        # reports separately; prepare_decode_tables picks device vs host),
-        # then time the steady-state device program
-        t0 = time.perf_counter()
-        targs = dec.prepare_decode_tables(erased, n, field)
-        jax.block_until_ready(targs)
-        loc_secs = round(time.perf_counter() - t0, 3)
-        fn = lambda c: dec.decode_prepared_jit(c, *targs, field)
-        secs = time_fn(fn, gj, iters=args.iters)
-        out = np.asarray(fn(gj))
-        locator = "prepared"
+    # --seam off disables the 3-pass seam-fused pair so the staged
+    # transforms run on the identical decode call path (restored on exit)
+    with _seam_dispatch(getattr(args, "seam", "auto")):
+        if args.device_locator:
+            fn = jax.jit(lambda c, idx: dec.decode(c, idx, field, k=k))
+            secs = time_fn(fn, gj, jnp.asarray(erased), iters=args.iters)
+            out = np.asarray(fn(gj, jnp.asarray(erased)))
+            locator = "fused-device"
+        else:
+            # product path: build the locator tables ONCE (their one-time
+            # cost reports separately; prepare_decode_tables picks device
+            # vs host), then time the steady-state device program
+            t0 = time.perf_counter()
+            targs = dec.prepare_decode_tables(erased, n, field)
+            jax.block_until_ready(targs)
+            loc_secs = round(time.perf_counter() - t0, 3)
+            # fresh local jit (not the shared decode_prepared_jit): an
+            # A/B trace with the pair disabled must not poison the
+            # module-level jit's shape-keyed cache for later callers
+            fn = jax.jit(lambda c: dec.decode_prepared(c, *targs, field))
+            secs = time_fn(fn, gj, iters=args.iters)
+            out = np.asarray(fn(gj))
+            locator = "prepared"
     ok = bool((out == cw).all())
     wb = 4 if field.use_mont else 2
     gb = n * args.lanes * wb / 1e9
@@ -469,17 +485,8 @@ def cmd_check(args):
             pos = dec.locate_errors(padded, k, field)
             if pos is not None and pos.size:
                 located = [int(x) for x in pos]
-    if consistent is False and located:
-        status, recoverable, rc = "corrupt-located", True, 1
-    elif consistent is False:
-        # an erasure-only decoder cannot recover what it cannot locate
-        status, recoverable, rc = "inconsistent", None, 3
-    elif not missing:
-        status, recoverable, rc = "healthy", True, 0
-    elif len(survivors) >= k:
-        status, recoverable, rc = "degraded", True, 1
-    else:
-        status, recoverable, rc = "unrecoverable", False, 2
+    status, recoverable, rc = storage.status_ladder(
+        consistent, located, len(missing), len(survivors), k)
     print(json.dumps({
         "n": n, "k": k, "present": len(survivors),
         "flagged": [[p, why] for p, why in flagged],

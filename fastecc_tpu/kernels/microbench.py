@@ -332,6 +332,9 @@ def measure_peaks(iters: int = 3, quick: bool = False) -> dict:
     out = {"hbm_stream_gbps": round(
         hbm_stream_gbps(mib=128 if quick else 1024, iters=iters), 1)}
     for v in _VARIANTS:
-        out[f"{v}_gops"] = round(
+        # key convention matches profiling.MEASURED_PEAKS_V5E (underscores:
+        # 'raw-mul' -> 'raw_mul_gops'), so the dict drops straight into
+        # pipeline_roofline(peaks=...) — the documented re-measure flow
+        out[f"{v.replace('-', '_')}_gops"] = round(
             vpu_chain_gops(v, mib=mib, iters=iters), 1)
     return out

@@ -88,7 +88,7 @@ def _plan_word_chunk(field: FieldSpec, k: int, words: int,
                 f"(~{whole_bytes >> 20} MB) exceeds max_resident "
                 f"({max_resident_bytes >> 20} MB). Use a block size "
                 f"whose word count is a multiple of {align} to restore "
-                f"the residency bound.", ResourceWarning, stacklevel=3)
+                f"the residency bound.", RuntimeWarning, stacklevel=3)
         return words
     budget_words = max(max_resident_bytes // (6 * 4 * k), align)
     cw = align
@@ -114,6 +114,52 @@ def _iter_block_cols(mm: np.memmap, size: int, k: int, block_bytes: int,
         lo, hi = min(b0, tail.size), min(b1, tail.size)
         out[full, : hi - lo] = tail[lo:hi]
     return out
+
+
+def _scan_block_files(src_dir, field: FieldSpec, n: int, dpos, bb: int,
+                      flagged: list | None = None):
+    """Candidate-survivor scan shared by the streamed recover and check
+    paths: position -> file for every well-named, well-sized block file.
+    ``flagged`` (a list) records anomalies as (pos, reason); None skips
+    them silently (recover simply treats them as erased). Returns
+    (data_items, parity_items)."""
+    d_items, p_items = {}, {}
+    for f in sorted(src_dir.glob("block_*.dat")) + \
+            sorted(src_dir.glob("block_*.par")):
+        try:
+            pos = int(f.stem.split("_")[1])
+        except (IndexError, ValueError):
+            continue
+        if not 0 <= pos < n:
+            if flagged is not None:
+                flagged.append((pos, "position out of range"))
+            continue
+        want = bb if pos in dpos else packing.parity_bytes(field, bb)
+        got = f.stat().st_size
+        if got != want:
+            if flagged is not None:
+                flagged.append((pos, f"bad size {got} != {want}"))
+            continue
+        (d_items if pos in dpos else p_items)[pos] = f
+    return d_items, p_items
+
+
+def status_ladder(consistent, located, n_missing: int, n_present: int,
+                  k: int):
+    """The audit verdict shared by cli check and check_file_stream:
+    (status, recoverable, rc). rc: 0 healthy, 1 degraded-but-recoverable
+    (incl. located silent corruption), 2 unrecoverable (< k survivors),
+    3 inconsistent-but-unlocatable (something lied; an erasure decoder
+    cannot recover what it cannot locate)."""
+    if consistent is False and located:
+        return "corrupt-located", True, 1
+    if consistent is False:
+        return "inconsistent", None, 3
+    if not n_missing:
+        return "healthy", True, 0
+    if n_present >= k:
+        return "degraded", True, 1
+    return "unrecoverable", False, 2
 
 
 def stripe_capacity_blocks(field: FieldSpec) -> int:
@@ -294,19 +340,7 @@ def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
     # candidate scan by stat only; CRC verification happens inside the
     # batched staging pass below so every survivor file is read ONCE
     dpos = set(rs.data_positions(n, k).tolist())
-    d_items, p_items = {}, {}
-    for f in sorted(src_dir.glob("block_*.dat")) + \
-            sorted(src_dir.glob("block_*.par")):
-        try:
-            pos = int(f.stem.split("_")[1])
-        except (IndexError, ValueError):
-            continue
-        if not 0 <= pos < n:
-            continue
-        want = bb if pos in dpos else packing.parity_bytes(field, bb)
-        if f.stat().st_size != want:
-            continue
-        (d_items if pos in dpos else p_items)[pos] = f
+    d_items, p_items = _scan_block_files(src_dir, field, n, dpos, bb)
 
     assert len(d_items) + len(p_items) >= k, (
         f"unrecoverable: {len(d_items) + len(p_items)} candidate "
@@ -477,22 +511,8 @@ def check_file_stream(src_dir, max_resident_bytes: int =
 
     dpos = set(rs.data_positions(n, k).tolist())
     flagged = []
-    d_items, p_items = {}, {}
-    for f in sorted(src_dir.glob("block_*.dat")) + \
-            sorted(src_dir.glob("block_*.par")):
-        try:
-            pos = int(f.stem.split("_")[1])
-        except (IndexError, ValueError):
-            continue
-        if not 0 <= pos < n:
-            flagged.append((pos, "position out of range"))
-            continue
-        want = bb if pos in dpos else packing.parity_bytes(field, bb)
-        got = f.stat().st_size
-        if got != want:
-            flagged.append((pos, f"bad size {got} != {want}"))
-            continue
-        (d_items if pos in dpos else p_items)[pos] = f
+    d_items, p_items = _scan_block_files(src_dir, field, n, dpos, bb,
+                                         flagged=flagged)
 
     stage_path = src_dir / ".check.stage"
     cstage = np.memmap(stage_path, dtype=np.uint32, mode="w+",
@@ -534,16 +554,8 @@ def check_file_stream(src_dir, max_resident_bytes: int =
         del cstage
         stage_path.unlink(missing_ok=True)
 
-    if consistent is False and located:
-        status, recoverable, rc = "corrupt-located", True, 1
-    elif consistent is False:
-        status, recoverable, rc = "inconsistent", None, 3
-    elif not missing:
-        status, recoverable, rc = "healthy", True, 0
-    elif n_present >= k:
-        status, recoverable, rc = "degraded", True, 1
-    else:
-        status, recoverable, rc = "unrecoverable", False, 2
+    status, recoverable, rc = status_ladder(consistent, located,
+                                            len(missing), n_present, k)
     report = {
         "n": n, "k": k, "present": n_present,
         "flagged": [[p, why] for p, why in flagged],
@@ -669,12 +681,21 @@ def check_file(src_dir, max_resident_bytes: int =
         worst = max(worst, rc)
     status = {0: "healthy", 1: "degraded", 2: "unrecoverable",
               3: "inconsistent"}[worst]
+    if worst == 1 and any(r["status"] == "corrupt-located" for r in sub):
+        # located silent corruption is a stronger statement than
+        # ordinary missing-block degradation — surface it (a script
+        # reading only the top-level status must learn a block LIED)
+        status = "corrupt-located"
+    # recoverable: a definite False (any provably-lost stripe) beats an
+    # unknown (None); True only when every stripe is definitely True
+    flags = [r["recoverable"] for r in sub]
+    recoverable = (False if any(f is False for f in flags)
+                   else True if all(f is True for f in flags) else None)
     report = {
         "striped": True, "stripes": sub,
         "n": sum(r["n"] for r in sub), "k": sum(r["k"] for r in sub),
         "present": sum(r["present"] for r in sub),
-        "recoverable": all(r["recoverable"] for r in sub)
-        if all(r["recoverable"] is not None for r in sub) else None,
+        "recoverable": recoverable,
         "status": status}
     return report, worst
 

@@ -120,6 +120,19 @@ def test_pallas_fused_postvec_select(field):
     np.testing.assert_array_equal(got2, want2)
 
 
+def test_measure_peaks_key_contract():
+    """measure_peaks() feeds pipeline_roofline(peaks=...) directly, so
+    its emitted keys must cover every key the roofline consumes — the
+    dashed variant names ('raw-mul') must normalize to the underscore
+    convention ('raw_mul_gops') of MEASURED_PEAKS_V5E."""
+    from fastecc_tpu.kernels import microbench as mb
+
+    emitted = {f"{v.replace('-', '_')}_gops" for v in mb._VARIANTS}
+    emitted.add("hbm_stream_gbps")
+    assert {"raw_mul_gops", "raw_add_gops",
+            "hbm_stream_gbps"} <= emitted
+
+
 def test_microbench_chain_kernels_interpret():
     """Every microbench chain variant must equal its jnp reference (the
     peaks table is only as honest as the kernels are correct)."""

@@ -419,6 +419,54 @@ def test_striped_check_aggregates_worst_stripe(tmp_path):
     assert per["stripe_0000"] == per["stripe_0002"] == "healthy"
 
 
+def _canned_stripe_reports(monkeypatch, tmp_path, reports):
+    """Striped dir skeleton + canned per-stripe check results, for unit
+    tests of check_file's aggregation logic."""
+    out = tmp_path / "coded"
+    out.mkdir()
+    man = {"format": storage.STRIPED_FORMAT, "file": "x", "size": 1,
+           "field": "GF32", "block_bytes": 4096, "stripe_blocks": 4,
+           "stripes": [{"dir": f"stripe_{i:04d}", "size": 1, "k": 4,
+                        "n": 8} for i in range(len(reports))]}
+    (out / "manifest.json").write_text(json.dumps(man))
+    it = iter(reports)
+    monkeypatch.setattr(storage, "check_file_stream",
+                        lambda *a, **kw: next(it))
+    return out
+
+
+def _rep(status, rc, recoverable, present=8):
+    return ({"n": 8, "k": 4, "present": present, "status": status,
+             "recoverable": recoverable}, rc)
+
+
+def test_striped_check_surfaces_corrupt_located(tmp_path, monkeypatch):
+    """Located silent corruption in one stripe must surface in the
+    TOP-LEVEL status — 'degraded' is the label for honest missing
+    blocks, and a script reading only the aggregate must learn a block
+    lied (same rc, stronger label)."""
+    out = _canned_stripe_reports(monkeypatch, tmp_path, [
+        _rep("healthy", 0, True),
+        _rep("corrupt-located", 1, True)])
+    report, rc = storage.check_file(out)
+    assert (rc, report["status"]) == (1, "corrupt-located")
+    assert report["recoverable"] is True
+
+
+def test_striped_check_recoverable_false_beats_unknown(tmp_path,
+                                                       monkeypatch):
+    """A definite recoverable=False (an unrecoverable stripe) must not
+    be masked to None by an inconsistent-unlocatable stripe elsewhere:
+    the file is provably lost regardless of what the unknown resolves
+    to."""
+    out = _canned_stripe_reports(monkeypatch, tmp_path, [
+        _rep("inconsistent", 3, None),
+        _rep("unrecoverable", 2, False, present=3)])
+    report, rc = storage.check_file(out)
+    assert rc == 3 and report["status"] == "inconsistent"
+    assert report["recoverable"] is False
+
+
 @pytest.mark.parametrize("field,extra", [(GF32, 1), (GF32, 4097),
                                          (GF16, 3)],
                          ids=["gf32-1byte-tail", "gf32-2block-tail",
@@ -460,12 +508,15 @@ def test_plan_word_chunk_warns_on_unaligned_budget_blowout():
     aligned chunking; when the whole-axis fallback exceeds the residency
     budget it must warn instead of silently voiding the bound."""
     import warnings
+    # default filters must SHOW it (ResourceWarning would be swallowed:
+    # Python ignores that category by default, so the "loud" warning
+    # would never reach a normal CLI run)
     with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
+        warnings.resetwarnings()
         got = storage._plan_word_chunk(GF32, k=1 << 16, words=24,
                                        max_resident_bytes=1 << 20)
     assert got == 24
-    assert any(issubclass(x.category, ResourceWarning) for x in w)
+    assert any(issubclass(x.category, RuntimeWarning) for x in w)
     # aligned word counts never warn
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
