@@ -493,6 +493,23 @@ def test_striped_one_block_tail_stripe(tmp_path, field, extra):
     assert dst.read_bytes() == src.read_bytes()
 
 
+def test_cli_encode_auto_stripes_beyond_capacity(tmp_path):
+    """cli encode must auto-dispatch to the striped path when the file
+    exceeds one codeword's capacity. GF16's cap (2^15 data blocks) is
+    reachable with 2-byte blocks: 2^16+2 bytes -> 2^15+1 blocks -> two
+    stripes (k=2^15 at the max transform order, then k=1)."""
+    src = _make_file(tmp_path, (1 << 16) + 2, name="cap.bin")
+    out = tmp_path / "coded"
+    assert cli.main(["--field", "gf16", "encode", str(src),
+                     "-o", str(out), "--block-bytes", "2"]) == 0
+    man = json.loads((out / "manifest.json").read_text())
+    assert storage.is_striped(man) and len(man["stripes"]) == 2
+    assert [st["k"] for st in man["stripes"]] == [1 << 15, 1]
+    dst = tmp_path / "cap.back"
+    assert cli.main(["recover", str(out), "-o", str(dst)]) == 0
+    assert dst.read_bytes() == src.read_bytes()
+
+
 def test_single_codeword_capacity_assert(tmp_path):
     """encode_file_stream must refuse a file beyond one codeword's
     capacity with a message pointing at the striped path (GF16 cap is
