@@ -185,3 +185,52 @@ def test_encode_directory_golden(tmp_path):
     back = tmp_path / "back.bin"
     assert cli.main(["recover", str(out), "-o", str(back)]) == 0
     assert back.read_bytes() == payload
+
+
+# striped (v2) layout fixture: the top-level manifest text, the stripe
+# directory naming, and the concatenation of every file in every stripe
+_STRIPED_PAYLOAD_SHA = ("d6b1c2c130d6471b62b892c9824d89af"
+                        "c4a3d712083c06f25336f0040c626d74")
+_STRIPED_MANIFEST_SHA = ("c02e87d44b6bc0dd62938eb8ae62120a"
+                         "bf8deb08a8059b5b4139b2e68dd975e7")
+_STRIPED_BLOB_SHA = ("da390ae87cd2191296472e49d6005901"
+                     "43af80d35a4de0ecdfe6904a8067844a")
+
+
+def test_striped_layout_golden(tmp_path):
+    """The v2 striped layout is the large-file on-disk contract: pinned
+    top-level manifest bytes, stripe directory naming, per-stripe v1
+    self-containment, and every block file's bytes (via one blob SHA).
+    A 10-block payload at stripe_blocks=4 exercises a partial tail
+    stripe (k=2)."""
+    from fastecc_tpu import storage
+
+    rng = np.random.default_rng(0x57B1)
+    payload = bytearray(rng.integers(0, 256, 9 * 4096 + 333,
+                                     dtype=np.uint16)
+                        .astype(np.uint8).tobytes())
+    payload[0:8] = b"\xff\xff\xff\xff\x01\x00\xf0\xff"   # escape words
+    payload = bytes(payload)
+    assert _sha(payload) == _STRIPED_PAYLOAD_SHA
+    src = tmp_path / "golden.bin"
+    src.write_bytes(payload)
+    out = tmp_path / "coded"
+    man = storage.encode_file(src, out, GF32, stripe_blocks=4)
+
+    man_text = (out / "manifest.json").read_text()
+    assert json.loads(man_text) == man      # returned == written
+    assert man["format"] == "fastecc-tpu-v2-striped"
+    assert [st["dir"] for st in man["stripes"]] == [
+        "stripe_0000", "stripe_0001", "stripe_0002"]
+    assert [st["k"] for st in man["stripes"]] == [4, 4, 2]
+    assert _sha(man_text.encode()) == _STRIPED_MANIFEST_SHA
+
+    names = []
+    for d in sorted(out.iterdir()):
+        if d.is_dir():
+            sub = json.loads((d / "manifest.json").read_text())
+            assert sub["format"] == "fastecc-tpu-v1"    # self-contained
+            names.extend(f"{d.name}/{p.name}" for p in sorted(d.iterdir()))
+    assert len(names) == 23                 # 8 + 8 + 4 blocks + 3 manifests
+    cat = b"".join((out / f).read_bytes() for f in names)
+    assert _sha(cat) == _STRIPED_BLOB_SHA
