@@ -177,6 +177,7 @@ def main():
 
     lg_k = args.lg_k
     fallback = False
+    seam_disabled = False
     while True:
         chunks = args.lane_chunks
         try:
@@ -184,12 +185,30 @@ def main():
                                                     args.iters, chunks)
             break
         except Exception as e:  # noqa: BLE001 - OOM fallback, reported
-            if lg_k <= 12:
+            from fastecc_tpu.kernels import ntt_mfa
+            if ntt_mfa.PAIR_ENABLED:
+                # First failure: before shrinking the config, retry at
+                # FULL size with the newest fast path (the seam-fused
+                # pair) disabled — a pair-specific lowering failure must
+                # degrade to the staged-transform rate, not to a smaller
+                # problem (or no headline at all).
+                ntt_mfa.PAIR_ENABLED = False
+                seam_disabled = True
+                print(f"# lg_k={lg_k} failed ({type(e).__name__}); "
+                      f"retrying with the seam pair disabled",
+                      file=sys.stderr)
+            elif lg_k > 12:
+                print(f"# lg_k={lg_k} failed ({type(e).__name__}); "
+                      f"retrying smaller", file=sys.stderr)
+                lg_k -= 1
+                fallback = True
+                # optimistic at the smaller size: OOM shrinks want the
+                # pair back (it is the lower-memory path); a genuine
+                # pair lowering failure just re-disables it in one step
+                ntt_mfa.PAIR_ENABLED = True
+                seam_disabled = False
+            else:
                 raise
-            print(f"# lg_k={lg_k} failed ({type(e).__name__}); retrying "
-                  f"smaller", file=sys.stderr)
-            lg_k -= 1
-            fallback = True
             # Drop the traceback's frame references so the failed attempt's
             # device buffers are actually freed before the retry.
             e.__traceback__ = None
@@ -236,6 +255,7 @@ def main():
         "config": {"k": k, "n": n, "lanes": args.lanes,
                    "block_bytes": args.lanes * 4, "field": "GF32",
                    "seconds": round(secs, 4), "fallback": fallback,
+                   "seam_disabled": seam_disabled,
                    "lane_chunks": chunks,
                    "parity_gb_per_sec": round(parity_gbps, 3),
                    "marginal_gb_per_sec": (
