@@ -28,6 +28,7 @@ the staged path. Bit-exact equal to ntt.ntt for every size/field.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -518,8 +519,12 @@ def _pair_default_c(n: int) -> int:
 # Dispatch switch for the seam-fused pair fast path (rs.encode_parity /
 # decode.decode_prepared consult it via _pair_supported). Benchmarks flip
 # it to A/B the 3-pass pair against the staged transforms on identical
-# call paths (cli rs-bench/decode-bench --seam off); production leaves it.
-PAIR_ENABLED = True
+# call paths (cli rs-bench/decode-bench --seam off). FASTECC_NO_SEAM=1
+# is the operator escape hatch: a Mosaic lowering failure in this (the
+# newest) kernel surfaces at jit-compile time where no library-level
+# fallback can catch it, so deployments can drop to the staged
+# transforms (the round-2 rate) without a code change.
+PAIR_ENABLED = not os.environ.get("FASTECC_NO_SEAM")
 
 
 def _pair_supported(n: int, lanes: int) -> bool:
