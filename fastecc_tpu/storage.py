@@ -170,20 +170,38 @@ def stripe_capacity_blocks(field: FieldSpec) -> int:
     return 1 << (field.max_log2 - 1)
 
 
-def encode_file_stream(path, out_dir, field: FieldSpec,
-                       block_bytes: int = packing.BLOCK_BYTES,
-                       max_resident_bytes: int =
-                       DEFAULT_MAX_RESIDENT_MB << 20,
-                       chunk_words: int | None = None,
-                       _offset: int = 0, _size: int | None = None) -> dict:
-    """Streaming encode of ``path`` into ``out_dir`` (wire format v1,
-    bit-identical to the in-core cli encode). Returns the manifest.
+class _EncodedStripe:
+    """Phase-1 result of a streamed encode: the parity of one codeword
+    computed into an on-disk staging memmap, plus everything the
+    emission pass needs. Compute is DEVICE-bound; emission (block files,
+    CRC tags, manifest) is HOST-bound — the split exists so the striped
+    encode can overlap stripe s's emission with stripe s+1's compute
+    (see encode_file)."""
 
-    ``_offset``/``_size`` select a byte window of the file (used by the
-    striped path; the window is memmap-sliced, never loaded)."""
+    __slots__ = ("path", "out_dir", "field", "block_bytes", "size", "k",
+                 "n", "lanes", "mm", "pstage", "stage_path")
+
+    def __init__(self, **kw):
+        for s in self.__slots__:
+            setattr(self, s, kw[s])
+
+    def close(self):
+        if self.pstage is not None:
+            self.pstage = None
+            self.stage_path.unlink(missing_ok=True)
+
+
+def _encode_stage(path, out_dir, field: FieldSpec, block_bytes: int,
+                  max_resident_bytes: int,
+                  chunk_words: int | None = None,
+                  _offset: int = 0, _size: int | None = None
+                  ) -> _EncodedStripe:
+    """Device phase of the streamed encode: pack + encode the file's
+    word-lane chunks (depth-2 upload/compute/download pipeline) into the
+    ``.parity.stage`` memmap."""
     import jax.numpy as jnp
 
-    from . import host, rs
+    from . import rs
 
     path, out_dir = pathlib.Path(path), pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -227,54 +245,97 @@ def encode_file_stream(path, out_dir, field: FieldSpec,
             b0 = words + c0 // 16
             pstage[:, b0:b0 + nb] = y[:, cw:]
 
-    for c0 in range(0, words, cw):
-        if len(pending) >= 2:
-            drain(pending.pop(0))
-        pending.append((c0, dispatch(c0)))
-    for item in pending:
-        drain(item)
-    pstage.flush()
+    try:
+        for c0 in range(0, words, cw):
+            if len(pending) >= 2:
+                drain(pending.pop(0))
+            pending.append((c0, dispatch(c0)))
+        for item in pending:
+            drain(item)
+        pstage.flush()
+    except BaseException:
+        del pstage
+        stage_path.unlink(missing_ok=True)
+        raise
+    return _EncodedStripe(path=path, out_dir=out_dir, field=field,
+                          block_bytes=block_bytes, size=size, k=k, n=n,
+                          lanes=lanes, mm=mm, pstage=pstage,
+                          stage_path=stage_path)
 
-    # emission pass: block files + CRC tags, sequential row IO in
-    # 256-row batches (one batched CRC call and one batched parity
-    # serialization per batch — k individual calls would dominate at
-    # "millions of blocks" scale)
-    dpos = rs.data_positions(n, k)
-    ppos = rs.parity_positions(n, k)
-    host.available() or host.build()
-    tags = {}
-    batch = 256
-    for s0 in range(0, k, batch):
-        s1 = min(s0 + batch, k)
-        rows = np.zeros((s1 - s0, block_bytes), np.uint8)
-        lo, hi = s0 * block_bytes, min(s1 * block_bytes, size)
-        if hi > lo:
-            rows.reshape(-1)[: hi - lo] = mm[lo:hi]
-        crcs = host.crc32c_blocks(rows)
-        for j in range(s1 - s0):
-            pos = int(dpos[s0 + j])
-            (out_dir / f"block_{pos:06d}.dat").write_bytes(
-                rows[j].tobytes())
-            tags[pos] = int(crcs[j])
-    for s0 in range(0, k, batch):
-        s1 = min(s0 + batch, k)
-        blobs = np.asarray(packing.serialize_parity(
-            jnp.asarray(np.asarray(pstage[s0:s1])), field))
-        crcs = host.crc32c_blocks(blobs)
-        for j in range(s1 - s0):
-            pos = int(ppos[s0 + j])
-            (out_dir / f"block_{pos:06d}.par").write_bytes(
-                blobs[j].tobytes())
-            tags[pos] = int(crcs[j])
-    del pstage
-    stage_path.unlink()
 
-    manifest = {"file": path.name, "size": size, "k": k, "n": n,
+def _emit_encoded(st: _EncodedStripe) -> dict:
+    """Host phase of the streamed encode: block files + CRC tags +
+    manifest, sequential row IO in 256-row batches (one batched CRC call
+    and one batched parity serialization per batch — k individual calls
+    would dominate at "millions of blocks" scale). Parity serialization
+    goes through the native plane when available so this phase issues no
+    device work (it may run concurrently with the next stripe's encode).
+    Releases the staging memmap; returns the manifest."""
+    from . import host, rs
+
+    field, out_dir, k, n = st.field, st.out_dir, st.k, st.n
+    block_bytes, size, mm, pstage = st.block_bytes, st.size, st.mm, \
+        st.pstage
+    try:
+        dpos = rs.data_positions(n, k)
+        ppos = rs.parity_positions(n, k)
+        host.available() or host.build()
+        native = host.available() and block_bytes == packing.BLOCK_BYTES
+        tags = {}
+        batch = 256
+        for s0 in range(0, k, batch):
+            s1 = min(s0 + batch, k)
+            rows = np.zeros((s1 - s0, block_bytes), np.uint8)
+            lo, hi = s0 * block_bytes, min(s1 * block_bytes, size)
+            if hi > lo:
+                rows.reshape(-1)[: hi - lo] = mm[lo:hi]
+            crcs = host.crc32c_blocks(rows)
+            for j in range(s1 - s0):
+                pos = int(dpos[s0 + j])
+                (out_dir / f"block_{pos:06d}.dat").write_bytes(
+                    rows[j].tobytes())
+                tags[pos] = int(crcs[j])
+        for s0 in range(0, k, batch):
+            s1 = min(s0 + batch, k)
+            rows = np.asarray(pstage[s0:s1])
+            if native:
+                blobs = host.serialize_parity(rows, field)
+            else:
+                import jax.numpy as jnp
+                blobs = np.asarray(packing.serialize_parity(
+                    jnp.asarray(rows), field))
+            crcs = host.crc32c_blocks(blobs)
+            for j in range(s1 - s0):
+                pos = int(ppos[s0 + j])
+                (out_dir / f"block_{pos:06d}.par").write_bytes(
+                    blobs[j].tobytes())
+                tags[pos] = int(crcs[j])
+    finally:
+        del pstage
+        st.close()
+
+    manifest = {"file": st.path.name, "size": size, "k": k, "n": n,
                 "field": field.name, "format": "fastecc-tpu-v1",
                 "block_bytes": block_bytes,
                 "crc32c": {str(p): t for p, t in tags.items()} or None}
     (out_dir / "manifest.json").write_text(json.dumps(manifest))
     return manifest
+
+
+def encode_file_stream(path, out_dir, field: FieldSpec,
+                       block_bytes: int = packing.BLOCK_BYTES,
+                       max_resident_bytes: int =
+                       DEFAULT_MAX_RESIDENT_MB << 20,
+                       chunk_words: int | None = None,
+                       _offset: int = 0, _size: int | None = None) -> dict:
+    """Streaming encode of ``path`` into ``out_dir`` (wire format v1,
+    bit-identical to the in-core cli encode). Returns the manifest.
+
+    ``_offset``/``_size`` select a byte window of the file (used by the
+    striped path; the window is memmap-sliced, never loaded)."""
+    return _emit_encoded(_encode_stage(path, out_dir, field, block_bytes,
+                                       max_resident_bytes, chunk_words,
+                                       _offset, _size))
 
 
 def _pack_rows_batched(items, field: FieldSpec, block_bytes: int,
@@ -310,6 +371,76 @@ def _pack_rows_batched(items, field: FieldSpec, block_bytes: int,
         yield grp, packed, ok
 
 
+class _StagedCodeword:
+    """Phase-1 result of a streamed recover: the survivor rows of one
+    codeword packed into an on-disk staging memmap, plus everything the
+    decode/emit phase needs. Staging is HOST-bound (file reads, CRC,
+    native pack); the consuming phase is DEVICE-bound — the split exists
+    so the striped recover can overlap stripe s+1's staging with stripe
+    s's decode (see recover_file). ``close()`` releases the memmap and
+    deletes the staging file; _finish_recover always closes."""
+
+    __slots__ = ("src_dir", "man", "field", "n", "k", "bb", "lanes",
+                 "tags", "dpos", "cstage", "stage_path", "present")
+
+    def __init__(self, **kw):
+        for s in self.__slots__:
+            setattr(self, s, kw[s])
+
+    def close(self):
+        if self.cstage is not None:
+            self.cstage = None
+            self.stage_path.unlink(missing_ok=True)
+
+
+def _stage_codeword(src_dir, _require_recoverable: bool = True
+                    ) -> _StagedCodeword:
+    """Scan, CRC-verify, and pack one coded directory's survivors into
+    its ``.codeword.stage`` memmap (every survivor file read ONCE: the
+    candidate scan is by stat only, CRC rides the staging read)."""
+    from . import host, rs
+
+    src_dir = pathlib.Path(src_dir)
+    man = json.loads((src_dir / "manifest.json").read_text())
+    from .fields import FIELDS
+    field = FIELDS[man["field"].upper()]
+    n, k = man["n"], man["k"]
+    bb = man.get("block_bytes", packing.BLOCK_BYTES)
+    lanes = packing.field_lanes(field, bb)
+    tags = man.get("crc32c") or {}
+    host.available() or host.build()
+
+    dpos = set(rs.data_positions(n, k).tolist())
+    d_items, p_items = _scan_block_files(src_dir, field, n, dpos, bb)
+    assert len(d_items) + len(p_items) >= k, (
+        f"unrecoverable: {len(d_items) + len(p_items)} candidate "
+        f"survivors < k={k}")
+
+    stage_path = src_dir / ".codeword.stage"
+    cstage = np.memmap(stage_path, dtype=np.uint32, mode="w+",
+                       shape=(n, lanes))
+    try:
+        present = np.zeros(n, bool)
+        for items, kind in ((d_items, "data"), (p_items, "parity")):
+            for grp, packed, ok in _pack_rows_batched(items, field, bb,
+                                                      kind, tags=tags):
+                idx = np.asarray(grp)[ok]
+                cstage[idx] = packed[ok]
+                present[idx] = True
+        if _require_recoverable:
+            n_present = int(present.sum())
+            assert n_present >= k, (
+                f"unrecoverable: {n_present} valid survivors < k={k}")
+    except BaseException:
+        del cstage
+        stage_path.unlink(missing_ok=True)
+        raise
+    return _StagedCodeword(src_dir=src_dir, man=man, field=field, n=n,
+                           k=k, bb=bb, lanes=lanes, tags=tags, dpos=dpos,
+                           cstage=cstage, stage_path=stage_path,
+                           present=present)
+
+
 def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
                         DEFAULT_MAX_RESIDENT_MB << 20,
                         chunk_lanes: int | None = None,
@@ -325,58 +456,34 @@ def recover_file_stream(src_dir, out_path, max_resident_bytes: int =
     syndrome combos accumulated across lane chunks) — the streamed
     equivalent of decode_blocks(check=True). Returns the number of
     blocks that were reconstructed."""
-    from . import host, rs
+    staged = _stage_codeword(src_dir)
+    return _finish_recover(staged, out_path, max_resident_bytes,
+                           chunk_lanes, repair, check, progress, _fh)
 
-    src_dir = pathlib.Path(src_dir)
-    man = json.loads((src_dir / "manifest.json").read_text())
-    from .fields import FIELDS
-    field = FIELDS[man["field"].upper()]
-    n, k = man["n"], man["k"]
-    bb = man.get("block_bytes", packing.BLOCK_BYTES)
-    lanes = packing.field_lanes(field, bb)
-    tags = man.get("crc32c") or {}
-    host.available() or host.build()
 
-    # candidate scan by stat only; CRC verification happens inside the
-    # batched staging pass below so every survivor file is read ONCE
-    dpos = set(rs.data_positions(n, k).tolist())
-    d_items, p_items = _scan_block_files(src_dir, field, n, dpos, bb)
-
-    assert len(d_items) + len(p_items) >= k, (
-        f"unrecoverable: {len(d_items) + len(p_items)} candidate "
-        f"survivors < k={k}")
-    stage_path = src_dir / ".codeword.stage"
-    cstage = np.memmap(stage_path, dtype=np.uint32, mode="w+",
-                       shape=(n, lanes))
+def _finish_recover(staged: _StagedCodeword, out_path,
+                    max_resident_bytes, chunk_lanes, repair, check,
+                    progress, _fh=None) -> int:
     try:
-        return _recover_staged(
-            cstage, d_items, p_items, dpos, src_dir, out_path, man, field,
-            n, k, bb, lanes, tags, max_resident_bytes, chunk_lanes,
-            repair, check, progress, _fh)
+        return _recover_staged(staged, out_path, max_resident_bytes,
+                               chunk_lanes, repair, check, progress, _fh)
     finally:
-        del cstage
-        stage_path.unlink(missing_ok=True)
+        staged.close()
 
 
-def _recover_staged(cstage, d_items, p_items, dpos, src_dir, out_path,
-                    man, field, n, k, bb, lanes, tags, max_resident_bytes,
-                    chunk_lanes, repair, check, progress,
-                    _fh=None) -> int:
+def _recover_staged(staged: _StagedCodeword, out_path,
+                    max_resident_bytes, chunk_lanes, repair, check,
+                    progress, _fh=None) -> int:
     import jax.numpy as jnp
 
     from . import decode as dec
     from . import host, rs
 
-    present = np.zeros(n, bool)
-    for items, kind in ((d_items, "data"), (p_items, "parity")):
-        for grp, packed, ok in _pack_rows_batched(items, field, bb, kind,
-                                                  tags=tags):
-            idx = np.asarray(grp)[ok]
-            cstage[idx] = packed[ok]
-            present[idx] = True
+    cstage, present = staged.cstage, staged.present
+    src_dir, man, field = staged.src_dir, staged.man, staged.field
+    n, k, bb, lanes = staged.n, staged.k, staged.bb, staged.lanes
+    tags, dpos = staged.tags, staged.dpos
     n_present = int(present.sum())
-    assert n_present >= k, (
-        f"unrecoverable: {n_present} valid survivors < k={k}")
     erased = np.nonzero(~present)[0]
     progress(f"staged {n_present}/{n} survivors; "
              f"recovering {erased.size} blocks")
@@ -610,17 +717,45 @@ def encode_file(path, out_dir, field: FieldSpec,
         return encode_file_stream(path, out_dir, field, block_bytes,
                                   max_resident_bytes)
     out_dir.mkdir(parents=True, exist_ok=True)
+    from concurrent.futures import ThreadPoolExecutor
+
     sb = cap * block_bytes
     n_stripes = -(-size // sb)
     stripes = []
-    for s in range(n_stripes):
-        off = s * sb
-        ssize = min(sb, size - off)
-        man = encode_file_stream(
-            path, out_dir / f"stripe_{s:04d}", field, block_bytes,
-            max_resident_bytes, _offset=off, _size=ssize)
-        stripes.append({"dir": f"stripe_{s:04d}", "size": ssize,
-                        "k": man["k"], "n": man["n"]})
+    prev = None     # at most one emission in flight (bounds .parity.stage
+    #                 files on disk to two stripes' worth)
+    with ThreadPoolExecutor(1, "fastecc-emit") as pool:
+        try:
+            for s in range(n_stripes):
+                off = s * sb
+                ssize = min(sb, size - off)
+                # stripe s's device compute runs while stripe s-1's
+                # host-bound emission (files + CRC + native serialize)
+                # drains on the pool thread
+                staged = _encode_stage(
+                    path, out_dir / f"stripe_{s:04d}", field, block_bytes,
+                    max_resident_bytes, _offset=off, _size=ssize)
+                if prev is not None:
+                    try:
+                        stripes.append(prev.result())
+                        prev = None
+                    except BaseException:
+                        staged.close()   # never submitted; reap its stage
+                        raise
+                prev = pool.submit(_emit_encoded, staged)
+            stripes.append(prev.result())
+            prev = None
+        finally:
+            if prev is not None:
+                # a stripe failed with an emission in flight: reap it so
+                # its staging memmap is not leaked (original error wins)
+                try:
+                    prev.result()
+                except BaseException:
+                    pass
+        stripes = [{"dir": f"stripe_{i:04d}", "size": m["size"],
+                    "k": m["k"], "n": m["n"]}
+                   for i, m in enumerate(stripes)]
     top = {"format": STRIPED_FORMAT, "file": path.name, "size": size,
            "field": field.name, "block_bytes": block_bytes,
            "stripe_blocks": cap, "stripes": stripes}
@@ -635,27 +770,50 @@ def recover_file(src_dir, out_path, max_resident_bytes: int =
                  progress=lambda s: None) -> int:
     """Striping-aware recover/repair: dispatches on the manifest format.
     Striped recovery streams each stripe's decode and appends its bytes
-    to ``out_path`` in order — at no point is more than one stripe's
-    staging working set resident. Returns total blocks reconstructed."""
+    to ``out_path`` in order. Stripe s+1's STAGING (host-bound: survivor
+    reads, CRC, native pack) runs on a prefetch thread while stripe s
+    DECODES (device-bound) and emits — the two phases use disjoint
+    resources, so an IO-heavy recover approaches max(IO, compute) rather
+    than their sum. Host-anonymous residency is unchanged (staging works
+    in 256-row batches; the per-stripe staging memmaps are disk-backed
+    page cache), but two stripes' ``.codeword.stage`` files exist on disk
+    at once. Returns total blocks reconstructed."""
     src_dir = pathlib.Path(src_dir)
     man = json.loads((src_dir / "manifest.json").read_text())
     if not is_striped(man):
         return recover_file_stream(src_dir, out_path, max_resident_bytes,
                                    chunk_lanes, repair, check, progress)
+    from concurrent.futures import ThreadPoolExecutor
+
+    stripes = man["stripes"]
     wrote = 0
-    if repair:
-        for st in man["stripes"]:
-            progress(f"repairing {st['dir']}")
-            wrote += recover_file_stream(
-                src_dir / st["dir"], None, max_resident_bytes,
-                chunk_lanes, repair=True, check=check, progress=progress)
-        return wrote
-    with open(pathlib.Path(out_path), "wb") as fh:
-        for st in man["stripes"]:
-            progress(f"recovering {st['dir']}")
-            wrote += recover_file_stream(
-                src_dir / st["dir"], None, max_resident_bytes,
-                chunk_lanes, check=check, progress=progress, _fh=fh)
+    fh = None if repair else open(pathlib.Path(out_path), "wb")
+    try:
+        with ThreadPoolExecutor(1, "fastecc-stage") as pool:
+            nxt = pool.submit(_stage_codeword, src_dir / stripes[0]["dir"])
+            try:
+                for i, st in enumerate(stripes):
+                    staged = nxt.result()
+                    nxt = None
+                    if i + 1 < len(stripes):
+                        nxt = pool.submit(_stage_codeword,
+                                          src_dir / stripes[i + 1]["dir"])
+                    progress(("repairing " if repair else "recovering ")
+                             + st["dir"])
+                    wrote += _finish_recover(
+                        staged, None, max_resident_bytes, chunk_lanes,
+                        repair, check, progress, _fh=fh)
+            finally:
+                if nxt is not None:
+                    # a stripe failed with a prefetch in flight: reap it
+                    # so its staging memmap file is not leaked
+                    try:
+                        nxt.result().close()
+                    except BaseException:
+                        pass
+    finally:
+        if fh is not None:
+            fh.close()
     return wrote
 
 

@@ -493,6 +493,42 @@ def test_striped_one_block_tail_stripe(tmp_path, field, extra):
     assert dst.read_bytes() == src.read_bytes()
 
 
+def test_striped_recover_unrecoverable_stripe_reaps_prefetch(tmp_path):
+    """An unrecoverable middle stripe must fail the whole recover loudly
+    — and the prefetch pipeline (stripe s+1 stages while stripe s
+    decodes) must not leak any .codeword.stage memmap file when the
+    failure surfaces on the staging thread."""
+    src = _make_file(tmp_path, 11 * 4096, name="fail.bin")
+    out = tmp_path / "coded"
+    man = storage.encode_file(src, out, GF32, stripe_blocks=4)
+    d = out / "stripe_0001"
+    files = sorted(d.glob("block_*.dat")) + sorted(d.glob("block_*.par"))
+    st = man["stripes"][1]
+    for f in files[: st["n"] - st["k"] + 1]:
+        f.unlink()
+    with pytest.raises(AssertionError, match="unrecoverable"):
+        storage.recover_file(out, tmp_path / "fail.back", chunk_lanes=64)
+    assert not list(out.rglob(".codeword.stage"))
+
+
+def test_striped_recover_decode_failure_reaps_inflight_prefetch(
+        tmp_path, monkeypatch):
+    """If a stripe's decode/emit phase dies while the NEXT stripe's
+    staging prefetch is already in flight, the in-flight staging memmap
+    must still be reaped (no .codeword.stage litter)."""
+    src = _make_file(tmp_path, 11 * 4096, name="boom.bin")
+    out = tmp_path / "coded"
+    storage.encode_file(src, out, GF32, stripe_blocks=4)
+
+    def boom(*a, **kw):
+        raise RuntimeError("decode exploded")
+
+    monkeypatch.setattr(storage, "_recover_staged", boom)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        storage.recover_file(out, tmp_path / "boom.back", chunk_lanes=64)
+    assert not list(out.rglob(".codeword.stage"))
+
+
 def test_cli_encode_auto_stripes_beyond_capacity(tmp_path):
     """cli encode must auto-dispatch to the striped path when the file
     exceeds one codeword's capacity. GF16's cap (2^15 data blocks) is
