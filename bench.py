@@ -29,6 +29,26 @@ from fastecc_tpu.utils import time_fn
 REFERENCE_GBPS = 1.2  # reference CPU headline (BASELINE.md, i7-4770 AVX2+OpenMP)
 
 
+def _probe_backend(timeout_s: float = 180.0) -> bool:
+    """Pre-flight the default backend in a SUBPROCESS with a timeout.
+
+    The tunneled TPU plugin hangs indefinitely inside backend init or the
+    first dispatch when its remote peer is down — unrecoverable in-process
+    (the hang is in C++). A child process pays the same ~20-40 s first
+    compile but can be killed, turning "bench hangs forever" into "bench
+    degrades to a small CPU run with the degradation reported"."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "r = jax.jit(lambda v: (v * 2).sum())(jnp.arange(8.0));"
+            "assert float(r) == 56.0")
+    try:
+        return subprocess.run([sys.executable, "-c", code],
+                              timeout=timeout_s,
+                              capture_output=True).returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def make_data(k: int, lanes: int):
     """Random field elements generated on-device (28-bit values < p)."""
     bits = jax.random.bits(jax.random.key(0), (k, lanes), dtype=jnp.uint32)
@@ -173,7 +193,23 @@ def main():
                     help="sequential lane chunks (memory fallback for the "
                          "staged jnp path; the fused Pallas path fits "
                          "unchunked and chunking slows it down)")
+    ap.add_argument("--no-probe", action="store_true",
+                    help="skip the subprocess backend pre-flight (saves "
+                         "one ~40s probe when the chip is known healthy)")
     args = ap.parse_args()
+
+    backend_fallback = None
+    if not args.no_probe and not _probe_backend():
+        # The default backend is hung or broken (tunneled chip down).
+        # Degrade to a SMALL CPU-backend run so the driver records an
+        # explicit degraded line instead of a hang/timeout. The numbers
+        # are not chip numbers and say so.
+        print("# default backend unresponsive; degrading to a small "
+              "CPU-backend run", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        backend_fallback = "cpu"
+        args.lg_k = min(args.lg_k, 12)
+        args.lanes = min(args.lanes, 128)
 
     lg_k = args.lg_k
     fallback = False
@@ -216,31 +252,35 @@ def main():
             gc.collect()
             jax.clear_caches()
 
-    try:
-        ntt_secs, ntt_marg = run_ntt_metric(args.iters)
-        ntt_secs = round(ntt_secs, 4)
-        ntt_marg = round(ntt_marg, 4) if ntt_marg else None
-    except Exception:  # noqa: BLE001 - secondary metric is best-effort
-        ntt_secs = ntt_marg = None
-    jax.clear_caches()
-    gc.collect()
-    try:
-        dec_call, dec_secs, dec_gbps, loc_secs = run_decode_metric(
-            max(2, args.iters))
-        dec_call = round(dec_call, 4)
-        dec_secs = round(dec_secs, 4) if dec_secs else None
-        dec_gbps = round(dec_gbps, 2) if dec_gbps else None
-        loc_secs = round(loc_secs, 3)
-    except Exception:  # noqa: BLE001 - secondary metric is best-effort
-        dec_call = dec_secs = dec_gbps = loc_secs = None
-    jax.clear_caches()
-    gc.collect()
-    try:
-        g16_secs, g16_gbps, g16_marg = run_gf16_metric(args.iters)
-        g16_secs, g16_gbps = round(g16_secs, 4), round(g16_gbps, 2)
-        g16_marg = round(g16_marg, 2) if g16_marg else None
-    except Exception:  # noqa: BLE001 - secondary metric is best-effort
-        g16_secs = g16_gbps = g16_marg = None
+    ntt_secs = ntt_marg = None
+    dec_call = dec_secs = dec_gbps = loc_secs = None
+    g16_secs = g16_gbps = g16_marg = None
+    if backend_fallback is None:   # secondaries are full-scale: chip only
+        try:
+            ntt_secs, ntt_marg = run_ntt_metric(args.iters)
+            ntt_secs = round(ntt_secs, 4)
+            ntt_marg = round(ntt_marg, 4) if ntt_marg else None
+        except Exception:  # noqa: BLE001 - secondary metric, best-effort
+            ntt_secs = ntt_marg = None
+        jax.clear_caches()
+        gc.collect()
+        try:
+            dec_call, dec_secs, dec_gbps, loc_secs = run_decode_metric(
+                max(2, args.iters))
+            dec_call = round(dec_call, 4)
+            dec_secs = round(dec_secs, 4) if dec_secs else None
+            dec_gbps = round(dec_gbps, 2) if dec_gbps else None
+            loc_secs = round(loc_secs, 3)
+        except Exception:  # noqa: BLE001 - secondary metric, best-effort
+            dec_call = dec_secs = dec_gbps = loc_secs = None
+        jax.clear_caches()
+        gc.collect()
+        try:
+            g16_secs, g16_gbps, g16_marg = run_gf16_metric(args.iters)
+            g16_secs, g16_gbps = round(g16_secs, 4), round(g16_gbps, 2)
+            g16_marg = round(g16_marg, 2) if g16_marg else None
+        except Exception:  # noqa: BLE001 - secondary metric, best-effort
+            g16_secs = g16_gbps = g16_marg = None
 
     gbps = total_bytes / secs / 1e9
     # Both throughput conventions, so nobody is misled by either: the
@@ -255,6 +295,7 @@ def main():
         "config": {"k": k, "n": n, "lanes": args.lanes,
                    "block_bytes": args.lanes * 4, "field": "GF32",
                    "seconds": round(secs, 4), "fallback": fallback,
+                   "backend_fallback": backend_fallback,
                    "seam_disabled": seam_disabled,
                    "lane_chunks": chunks,
                    "parity_gb_per_sec": round(parity_gbps, 3),

@@ -393,11 +393,17 @@ class _StagedCodeword:
             self.stage_path.unlink(missing_ok=True)
 
 
-def _stage_codeword(src_dir, _require_recoverable: bool = True
+def _stage_codeword(src_dir, _require_recoverable: bool = True,
+                    flagged: list | None = None,
+                    stage_name: str = ".codeword.stage"
                     ) -> _StagedCodeword:
     """Scan, CRC-verify, and pack one coded directory's survivors into
-    its ``.codeword.stage`` memmap (every survivor file read ONCE: the
-    candidate scan is by stat only, CRC rides the staging read)."""
+    its staging memmap (every survivor file read ONCE: the candidate
+    scan is by stat only, CRC rides the staging read). ``flagged``
+    (check's audit mode) records anomalies as (pos, reason) — bad names/
+    sizes from the scan, plus CRC mismatches from the staging read —
+    and disables the >= k recoverability asserts (an audit reports an
+    unrecoverable directory, it does not raise on it)."""
     from . import host, rs
 
     src_dir = pathlib.Path(src_dir)
@@ -408,15 +414,18 @@ def _stage_codeword(src_dir, _require_recoverable: bool = True
     bb = man.get("block_bytes", packing.BLOCK_BYTES)
     lanes = packing.field_lanes(field, bb)
     tags = man.get("crc32c") or {}
-    host.available() or host.build()
+    if tags or flagged is None:
+        host.available() or host.build()
 
     dpos = set(rs.data_positions(n, k).tolist())
-    d_items, p_items = _scan_block_files(src_dir, field, n, dpos, bb)
-    assert len(d_items) + len(p_items) >= k, (
-        f"unrecoverable: {len(d_items) + len(p_items)} candidate "
-        f"survivors < k={k}")
+    d_items, p_items = _scan_block_files(src_dir, field, n, dpos, bb,
+                                         flagged=flagged)
+    if _require_recoverable:
+        assert len(d_items) + len(p_items) >= k, (
+            f"unrecoverable: {len(d_items) + len(p_items)} candidate "
+            f"survivors < k={k}")
 
-    stage_path = src_dir / ".codeword.stage"
+    stage_path = src_dir / stage_name
     cstage = np.memmap(stage_path, dtype=np.uint32, mode="w+",
                        shape=(n, lanes))
     try:
@@ -427,6 +436,10 @@ def _stage_codeword(src_dir, _require_recoverable: bool = True
                 idx = np.asarray(grp)[ok]
                 cstage[idx] = packed[ok]
                 present[idx] = True
+                if flagged is not None:
+                    for pos, good in zip(grp, ok):
+                        if not good:
+                            flagged.append((pos, "CRC mismatch"))
         if _require_recoverable:
             n_present = int(present.sum())
             assert n_present >= k, (
@@ -603,40 +616,24 @@ def check_file_stream(src_dir, max_resident_bytes: int =
     its exit code: 0 healthy, 1 degraded-but-recoverable (including
     located corruption), 2 unrecoverable, 3 inconsistent-but-unlocatable.
     """
-    from . import host, rs
-
-    src_dir = pathlib.Path(src_dir)
-    man = json.loads((src_dir / "manifest.json").read_text())
-    from .fields import FIELDS
-    field = FIELDS[man["field"].upper()]
-    n, k = man["n"], man["k"]
-    bb = man.get("block_bytes", packing.BLOCK_BYTES)
-    lanes = packing.field_lanes(field, bb)
-    tags = man.get("crc32c") or {}
-    if tags:
-        host.available() or host.build()
-
-    dpos = set(rs.data_positions(n, k).tolist())
     flagged = []
-    d_items, p_items = _scan_block_files(src_dir, field, n, dpos, bb,
-                                         flagged=flagged)
+    staged = _stage_codeword(src_dir, _require_recoverable=False,
+                             flagged=flagged, stage_name=".check.stage")
+    return _finish_check(staged, flagged, max_resident_bytes, chunk_lanes)
 
-    stage_path = src_dir / ".check.stage"
-    cstage = np.memmap(stage_path, dtype=np.uint32, mode="w+",
-                       shape=(n, lanes))
+
+def _finish_check(staged: _StagedCodeword, flagged,
+                  max_resident_bytes, chunk_lanes):
+    """Device phase of the streamed audit: verify the algebraic codeword
+    property chunk-by-chunk (when all n blocks are present) and locate
+    silently corrupted blocks. Always releases the staging memmap."""
+    from . import rs
+
+    field, n, k, lanes = staged.field, staged.n, staged.k, staged.lanes
+    cstage, tags = staged.cstage, staged.tags
     try:
-        present = np.zeros(n, bool)
-        for items, kind in ((d_items, "data"), (p_items, "parity")):
-            for grp, packed, ok in _pack_rows_batched(items, field, bb,
-                                                      kind, tags=tags):
-                idx = np.asarray(grp)[ok]
-                cstage[idx] = packed[ok]
-                present[idx] = True
-                for pos, good in zip(grp, ok):
-                    if not good:
-                        flagged.append((pos, "CRC mismatch"))
-        n_present = int(present.sum())
-        missing = [int(x) for x in np.nonzero(~present)[0]]
+        n_present = int(staged.present.sum())
+        missing = [int(x) for x in np.nonzero(~staged.present)[0]]
         consistent = None
         located = None
         if not missing:
@@ -659,7 +656,7 @@ def check_file_stream(src_dir, max_resident_bytes: int =
                     located = [int(x) for x in pos]
     finally:
         del cstage
-        stage_path.unlink(missing_ok=True)
+        staged.close()
 
     status, recoverable, rc = status_ladder(consistent, located,
                                             len(missing), n_present, k)
@@ -829,14 +826,40 @@ def check_file(src_dir, max_resident_bytes: int =
     man = json.loads((src_dir / "manifest.json").read_text())
     if not is_striped(man):
         return check_file_stream(src_dir, max_resident_bytes, chunk_lanes)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def stage(d):
+        flagged = []
+        return _stage_codeword(d, _require_recoverable=False,
+                               flagged=flagged,
+                               stage_name=".check.stage"), flagged
+
+    stripes = man["stripes"]
     sub = []
     worst = 0
-    for st in man["stripes"]:
-        rep, rc = check_file_stream(src_dir / st["dir"],
-                                    max_resident_bytes, chunk_lanes)
-        rep["stripe"] = st["dir"]
-        sub.append(rep)
-        worst = max(worst, rc)
+    # same prefetch pipeline as recover_file: stripe s+1's host-bound
+    # staging (reads + CRC + pack) overlaps stripe s's device-bound
+    # codeword verification
+    with ThreadPoolExecutor(1, "fastecc-stage") as pool:
+        nxt = pool.submit(stage, src_dir / stripes[0]["dir"])
+        try:
+            for i, st in enumerate(stripes):
+                staged, flagged = nxt.result()
+                nxt = None
+                if i + 1 < len(stripes):
+                    nxt = pool.submit(stage,
+                                      src_dir / stripes[i + 1]["dir"])
+                rep, rc = _finish_check(staged, flagged,
+                                        max_resident_bytes, chunk_lanes)
+                rep["stripe"] = st["dir"]
+                sub.append(rep)
+                worst = max(worst, rc)
+        finally:
+            if nxt is not None:
+                try:
+                    nxt.result()[0].close()
+                except BaseException:
+                    pass
     status = {0: "healthy", 1: "degraded", 2: "unrecoverable",
               3: "inconsistent"}[worst]
     if worst == 1 and any(r["status"] == "corrupt-located" for r in sub):

@@ -430,7 +430,16 @@ def _canned_stripe_reports(monkeypatch, tmp_path, reports):
                         "n": 8} for i in range(len(reports))]}
     (out / "manifest.json").write_text(json.dumps(man))
     it = iter(reports)
-    monkeypatch.setattr(storage, "check_file_stream",
+
+    class _DummyStaged:
+        def close(self):
+            pass
+
+    # the striped check pipeline stages then finishes each stripe; stub
+    # both seams so only the aggregation logic under test runs
+    monkeypatch.setattr(storage, "_stage_codeword",
+                        lambda *a, **kw: _DummyStaged())
+    monkeypatch.setattr(storage, "_finish_check",
                         lambda *a, **kw: next(it))
     return out
 
