@@ -33,7 +33,9 @@ step rs16-auto 900 python -m fastecc_tpu.cli --field gf16 rs-bench --lg-k 13 --l
 step dec-off  1200 python -m fastecc_tpu.cli decode-bench --lg-n 20 --lg-e 19 --lanes 512 --iters 3 --seam off
 step dec-auto 1200 python -m fastecc_tpu.cli decode-bench --lg-n 20 --lg-e 19 --lanes 512 --iters 3 --seam auto
 
-# 5. the full headline bench (seam auto-dispatch = production)
-step bench 2400 python bench.py
+# 5. the full headline bench (seam auto-dispatch = production).
+# --no-probe: this script only runs when the tunnel is already verified
+# healthy, so skip bench.py's subprocess backend pre-flight (~40 s).
+step bench 2400 python bench.py --no-probe
 
 echo "=== onchip_r3 complete $(date -u +%FT%TZ) ===" | tee -a "$LOG"
