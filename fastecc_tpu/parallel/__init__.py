@@ -11,3 +11,24 @@ rebuild scales over a TPU mesh with two axes:
 """
 
 from .mesh import make_mesh  # noqa: F401
+
+_NTT_DIST = ("ntt_sharded", "ntt_sharded_jit", "ntt_sharded_overlap",
+             "ntt_sharded_overlap_jit", "encode_parity_sharded",
+             "encode_parity_sharded_jit", "decode_sharded",
+             "decode_prepared_sharded")
+_MESH = ("codeword_sharding", "replicated")
+
+__all__ = ["make_mesh", *_MESH, *_NTT_DIST]
+
+
+def __getattr__(name):
+    """Lazy re-exports so ``fastecc_tpu.parallel.ntt_sharded`` etc. work
+    without importing the transform stack at package-import time."""
+    if name in _NTT_DIST:
+        from . import ntt_dist
+        return getattr(ntt_dist, name)
+    if name in _MESH:
+        from . import mesh
+        return getattr(mesh, name)
+    raise AttributeError(
+        f"module 'fastecc_tpu.parallel' has no attribute {name!r}")

@@ -170,7 +170,26 @@ def stripe_capacity_blocks(field: FieldSpec) -> int:
     return 1 << (field.max_log2 - 1)
 
 
-class _EncodedStripe:
+class _StageCtx:
+    """Staging-memmap lifecycle shared by the encode and recover
+    pipeline contexts: kwargs-to-slots init plus an idempotent close()
+    that drops the memmap reference (slot named by ``_MM_SLOT``) and
+    deletes the on-disk staging file."""
+
+    __slots__ = ()
+    _MM_SLOT: str
+
+    def __init__(self, **kw):
+        for s in self.__slots__:
+            setattr(self, s, kw[s])
+
+    def close(self):
+        if getattr(self, self._MM_SLOT) is not None:
+            setattr(self, self._MM_SLOT, None)
+            self.stage_path.unlink(missing_ok=True)
+
+
+class _EncodedStripe(_StageCtx):
     """Phase-1 result of a streamed encode: the parity of one codeword
     computed into an on-disk staging memmap, plus everything the
     emission pass needs. Compute is DEVICE-bound; emission (block files,
@@ -180,15 +199,7 @@ class _EncodedStripe:
 
     __slots__ = ("path", "out_dir", "field", "block_bytes", "size", "k",
                  "n", "lanes", "mm", "pstage", "stage_path")
-
-    def __init__(self, **kw):
-        for s in self.__slots__:
-            setattr(self, s, kw[s])
-
-    def close(self):
-        if self.pstage is not None:
-            self.pstage = None
-            self.stage_path.unlink(missing_ok=True)
+    _MM_SLOT = "pstage"
 
 
 def _encode_stage(path, out_dir, field: FieldSpec, block_bytes: int,
@@ -268,9 +279,12 @@ def _emit_encoded(st: _EncodedStripe) -> dict:
     manifest, sequential row IO in 256-row batches (one batched CRC call
     and one batched parity serialization per batch — k individual calls
     would dominate at "millions of blocks" scale). Parity serialization
-    goes through the native plane when available so this phase issues no
-    device work (it may run concurrently with the next stripe's encode).
-    Releases the staging memmap; returns the manifest."""
+    goes through the native plane when available (default 4 KB blocks +
+    built toolchain) so this phase issues no device work and can truly
+    run concurrently with the next stripe's encode; without it the jnp
+    fallback serializes against the device phase — still correct, the
+    overlap just degrades. Releases the staging memmap; returns the
+    manifest."""
     from . import host, rs
 
     field, out_dir, k, n = st.field, st.out_dir, st.k, st.n
@@ -371,7 +385,7 @@ def _pack_rows_batched(items, field: FieldSpec, block_bytes: int,
         yield grp, packed, ok
 
 
-class _StagedCodeword:
+class _StagedCodeword(_StageCtx):
     """Phase-1 result of a streamed recover: the survivor rows of one
     codeword packed into an on-disk staging memmap, plus everything the
     decode/emit phase needs. Staging is HOST-bound (file reads, CRC,
@@ -382,15 +396,7 @@ class _StagedCodeword:
 
     __slots__ = ("src_dir", "man", "field", "n", "k", "bb", "lanes",
                  "tags", "dpos", "cstage", "stage_path", "present")
-
-    def __init__(self, **kw):
-        for s in self.__slots__:
-            setattr(self, s, kw[s])
-
-    def close(self):
-        if self.cstage is not None:
-            self.cstage = None
-            self.stage_path.unlink(missing_ok=True)
+    _MM_SLOT = "cstage"
 
 
 def _stage_codeword(src_dir, _require_recoverable: bool = True,
@@ -769,9 +775,11 @@ def recover_file(src_dir, out_path, max_resident_bytes: int =
     Striped recovery streams each stripe's decode and appends its bytes
     to ``out_path`` in order. Stripe s+1's STAGING (host-bound: survivor
     reads, CRC, native pack) runs on a prefetch thread while stripe s
-    DECODES (device-bound) and emits — the two phases use disjoint
-    resources, so an IO-heavy recover approaches max(IO, compute) rather
-    than their sum. Host-anonymous residency is unchanged (staging works
+    DECODES (device-bound) and emits — with the native plane loaded the
+    two phases use disjoint resources, so an IO-heavy recover approaches
+    max(IO, compute) rather than their sum (the jnp pack fallback for
+    non-default block sizes contends with the device phase; correctness
+    is unaffected). Host-anonymous residency is unchanged (staging works
     in 256-row batches; the per-stripe staging memmaps are disk-backed
     page cache), but two stripes' ``.codeword.stage`` files exist on disk
     at once. Returns total blocks reconstructed."""

@@ -538,6 +538,42 @@ def test_striped_recover_decode_failure_reaps_inflight_prefetch(
     assert not list(out.rglob(".codeword.stage"))
 
 
+def test_striped_encode_emit_failure_reaps_stage(tmp_path, monkeypatch):
+    """If a stripe's emission phase dies mid-pipeline, the encode
+    pipeline must reap every other stripe's .parity.stage memmap (the
+    never-submitted stripe and any emission still in flight)."""
+    src = _make_file(tmp_path, 11 * 4096, name="emitboom.bin")
+    out = tmp_path / "coded"
+
+    def boom(st):
+        st.close()   # honor _emit_encoded's always-closes contract
+        raise RuntimeError("emit exploded")
+
+    monkeypatch.setattr(storage, "_emit_encoded", boom)
+    with pytest.raises(RuntimeError, match="emit exploded"):
+        storage.encode_file(src, out, GF32, stripe_blocks=4)
+    assert not list(out.rglob(".parity.stage"))
+
+
+def test_emit_encoded_failure_closes_stage(tmp_path, monkeypatch):
+    """_emit_encoded's contract: the staging memmap is released and its
+    file deleted even when emission fails partway (here: the CRC step
+    explodes after block files started landing)."""
+    src = _make_file(tmp_path, 2 * 4096, name="e.bin")
+    staged = storage._encode_stage(src, tmp_path / "coded", GF32, 4096,
+                                   1 << 20)
+    assert staged.stage_path.exists()
+    from fastecc_tpu import host
+
+    def boom(*a, **kw):
+        raise RuntimeError("crc exploded")
+
+    monkeypatch.setattr(host, "crc32c_blocks", boom)
+    with pytest.raises(RuntimeError, match="crc exploded"):
+        storage._emit_encoded(staged)
+    assert staged.pstage is None and not staged.stage_path.exists()
+
+
 def test_cli_encode_auto_stripes_beyond_capacity(tmp_path):
     """cli encode must auto-dispatch to the striped path when the file
     exceeds one codeword's capacity. GF16's cap (2^15 data blocks) is
