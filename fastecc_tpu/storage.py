@@ -484,24 +484,27 @@ def _finish_recover(staged: _StagedCodeword, out_path,
                     max_resident_bytes, chunk_lanes, repair, check,
                     progress, _fh=None) -> int:
     try:
-        return _recover_staged(staged, out_path, max_resident_bytes,
-                               chunk_lanes, repair, check, progress, _fh)
+        erased, untrusted = _decode_staged(staged, max_resident_bytes,
+                                           chunk_lanes, check, progress)
+        return _emit_recovered(staged, erased, untrusted, out_path,
+                               repair, progress, _fh)
     finally:
         staged.close()
 
 
-def _recover_staged(staged: _StagedCodeword, out_path,
-                    max_resident_bytes, chunk_lanes, repair, check,
-                    progress, _fh=None) -> int:
+def _decode_staged(staged: _StagedCodeword, max_resident_bytes,
+                   chunk_lanes, check, progress):
+    """Device phase of the streamed recover: in-place erasure decode of
+    the staging memmap, plus (``check``) the chunked audit that locates
+    and corrects lying survivors. Returns (erased, untrusted) for the
+    emission phase."""
     import jax.numpy as jnp
 
     from . import decode as dec
-    from . import host, rs
+    from . import rs
 
     cstage, present = staged.cstage, staged.present
-    src_dir, man, field = staged.src_dir, staged.man, staged.field
-    n, k, bb, lanes = staged.n, staged.k, staged.bb, staged.lanes
-    tags, dpos = staged.tags, staged.dpos
+    field, n, k, lanes = staged.field, staged.n, staged.k, staged.lanes
     n_present = int(present.sum())
     erased = np.nonzero(~present)[0]
     progress(f"staged {n_present}/{n} survivors; "
@@ -552,29 +555,61 @@ def _recover_staged(staged: _StagedCodeword, out_path,
                 raise ValueError("post-correction consistency check "
                                  "failed in streamed audit")
     cstage.flush()
+    return erased, untrusted
 
+
+def _rows_to_blobs(rows: np.ndarray, field, bb: int, kind: str):
+    """Decoded field rows -> wire blobs, one BATCHED call (native when
+    available so the emission phase issues no device work)."""
+    from . import host
+
+    if host.available() and bb == packing.BLOCK_BYTES:
+        return (host.unpack_data(rows, field) if kind == "data" else
+                host.serialize_parity(rows, field))
+    import jax.numpy as jnp
+    fn = packing.unpack_data if kind == "data" else \
+        packing.serialize_parity
+    return np.asarray(fn(jnp.asarray(rows), field))
+
+
+def _emit_recovered(staged: _StagedCodeword, erased, untrusted, out_path,
+                    repair, progress, _fh=None) -> int:
+    """Host phase of the streamed recover: write the rebuilt file (or,
+    ``repair``, the missing block files + manifest re-tags). Batched —
+    one unpack/serialize and one CRC call per 256 rows, never one device
+    call per block. Does NOT close ``staged`` (the caller owns it, so
+    the striped pipeline can run this on a worker thread)."""
+    from . import host, rs
+
+    cstage = staged.cstage
+    src_dir, man, field = staged.src_dir, staged.man, staged.field
+    n, k, bb = staged.n, staged.k, staged.bb
+    tags, dpos = staged.tags, staged.dpos
     wrote = int(erased.size)
-    retagged = []
+    batch = 256
     if repair:
-        for pos in erased:
-            row = jnp.asarray(np.asarray(cstage[pos: pos + 1]))
-            if int(pos) in dpos:
-                blob = np.asarray(packing.unpack_data(row, field))[0] \
-                    .tobytes()
-                path = src_dir / f"block_{int(pos):06d}.dat"
-            else:
-                blob = np.asarray(packing.serialize_parity(row, field))[0] \
-                    .tobytes()
-                path = src_dir / f"block_{int(pos):06d}.par"
-            if tags and str(int(pos)) in tags:
-                crc = host.crc32c(blob)
-                if int(pos) not in untrusted:
-                    assert crc == tags[str(int(pos))], (
-                        f"repaired block {int(pos)} fails its manifest CRC")
-                elif crc != tags[str(int(pos))]:
-                    tags[str(int(pos))] = crc
-                    retagged.append(int(pos))
-            path.write_bytes(blob)
+        retagged = []
+        er_d = [int(p) for p in erased if int(p) in dpos]
+        er_p = [int(p) for p in erased if int(p) not in dpos]
+        for kind, suffix, poss in (("data", "dat", er_d),
+                                   ("parity", "par", er_p)):
+            for s in range(0, len(poss), batch):
+                grp = poss[s: s + batch]
+                blobs = _rows_to_blobs(np.asarray(cstage[grp]), field,
+                                       bb, kind)
+                crcs = host.crc32c_blocks(blobs) if tags else None
+                for j, pos in enumerate(grp):
+                    if tags and str(pos) in tags:
+                        crc = int(crcs[j])
+                        if pos not in untrusted:
+                            assert crc == tags[str(pos)], (
+                                f"repaired block {pos} fails its "
+                                f"manifest CRC")
+                        elif crc != tags[str(pos)]:
+                            tags[str(pos)] = crc
+                            retagged.append(pos)
+                    (src_dir / f"block_{pos:06d}.{suffix}").write_bytes(
+                        blobs[j].tobytes())
         if retagged:
             man["crc32c"] = tags
             (src_dir / "manifest.json").write_text(json.dumps(man))
@@ -586,13 +621,11 @@ def _recover_staged(staged: _StagedCodeword, out_path,
 
         def emit(fh):
             remaining = size
-            batch = 256
             for s in range(0, k, batch):
                 if remaining <= 0:
                     break
-                rows = np.asarray(cstage[drows[s: s + batch]])
-                raw = np.asarray(packing.unpack_data(
-                    jnp.asarray(rows), field)).reshape(-1)
+                raw = _rows_to_blobs(np.asarray(cstage[drows[s: s + batch]]),
+                                     field, bb, "data").reshape(-1)
                 take = min(remaining, raw.size)
                 fh.write(raw[:take].tobytes())
                 remaining -= take
@@ -773,16 +806,19 @@ def recover_file(src_dir, out_path, max_resident_bytes: int =
                  progress=lambda s: None) -> int:
     """Striping-aware recover/repair: dispatches on the manifest format.
     Striped recovery streams each stripe's decode and appends its bytes
-    to ``out_path`` in order. Stripe s+1's STAGING (host-bound: survivor
-    reads, CRC, native pack) runs on a prefetch thread while stripe s
-    DECODES (device-bound) and emits — with the native plane loaded the
-    two phases use disjoint resources, so an IO-heavy recover approaches
-    max(IO, compute) rather than their sum (the jnp pack fallback for
-    non-default block sizes contends with the device phase; correctness
-    is unaffected). Host-anonymous residency is unchanged (staging works
-    in 256-row batches; the per-stripe staging memmaps are disk-backed
-    page cache), but two stripes' ``.codeword.stage`` files exist on disk
-    at once. Returns total blocks reconstructed."""
+    to ``out_path`` in order, as a THREE-stage pipeline over stripes:
+    stripe s+1 STAGES (host: survivor reads, CRC, native pack — prefetch
+    thread) while stripe s DECODES (device — main thread) while stripe
+    s−1 EMITS (host: native unpack + file writes — emit thread, one in
+    flight so output order and live staging files stay bounded). With
+    the native plane loaded the host stages issue no device work, so the
+    device streams decode after decode and an IO-heavy recover costs
+    max(IO, compute), not their sum (the jnp fallback for non-default
+    block sizes contends with the device phase; correctness unaffected).
+    Host-anonymous residency is unchanged (all host stages work in
+    256-row batches; staging memmaps are disk-backed page cache), but up
+    to three stripes' ``.codeword.stage`` files exist on disk at once.
+    Returns total blocks reconstructed."""
     src_dir = pathlib.Path(src_dir)
     man = json.loads((src_dir / "manifest.json").read_text())
     if not is_striped(man):
@@ -793,27 +829,62 @@ def recover_file(src_dir, out_path, max_resident_bytes: int =
     stripes = man["stripes"]
     wrote = 0
     fh = None if repair else open(pathlib.Path(out_path), "wb")
+
+    def emit_job(stg, er, ut):
+        # emission owns closing its stripe's staging memmap
+        try:
+            return _emit_recovered(stg, er, ut, None, repair, progress,
+                                   _fh=fh)
+        finally:
+            stg.close()
+
     try:
-        with ThreadPoolExecutor(1, "fastecc-stage") as pool:
-            nxt = pool.submit(_stage_codeword, src_dir / stripes[0]["dir"])
+        with ThreadPoolExecutor(1, "fastecc-stage") as stage_pool, \
+                ThreadPoolExecutor(1, "fastecc-emit") as emit_pool:
+            nxt = stage_pool.submit(_stage_codeword,
+                                    src_dir / stripes[0]["dir"])
+            emitting = None   # at most one emission in flight: bounds
+            #                   live staging files and keeps file order
             try:
                 for i, st in enumerate(stripes):
                     staged = nxt.result()
                     nxt = None
                     if i + 1 < len(stripes):
-                        nxt = pool.submit(_stage_codeword,
-                                          src_dir / stripes[i + 1]["dir"])
+                        nxt = stage_pool.submit(
+                            _stage_codeword,
+                            src_dir / stripes[i + 1]["dir"])
                     progress(("repairing " if repair else "recovering ")
                              + st["dir"])
-                    wrote += _finish_recover(
-                        staged, None, max_resident_bytes, chunk_lanes,
-                        repair, check, progress, _fh=fh)
+                    try:
+                        erased, untrusted = _decode_staged(
+                            staged, max_resident_bytes, chunk_lanes,
+                            check, progress)
+                    except BaseException:
+                        staged.close()
+                        raise
+                    if emitting is not None:
+                        try:
+                            wrote += emitting.result()
+                            emitting = None
+                        except BaseException:
+                            staged.close()   # never submitted; reap
+                            raise
+                    emitting = emit_pool.submit(emit_job, staged,
+                                                erased, untrusted)
+                wrote += emitting.result()
+                emitting = None
             finally:
+                # a stripe failed with work in flight: reap the prefetch
+                # staging memmap and drain the emission (its own finally
+                # closes its staging file); the original error wins
                 if nxt is not None:
-                    # a stripe failed with a prefetch in flight: reap it
-                    # so its staging memmap file is not leaked
                     try:
                         nxt.result().close()
+                    except BaseException:
+                        pass
+                if emitting is not None:
+                    try:
+                        emitting.result()
                     except BaseException:
                         pass
     finally:

@@ -532,9 +532,28 @@ def test_striped_recover_decode_failure_reaps_inflight_prefetch(
     def boom(*a, **kw):
         raise RuntimeError("decode exploded")
 
-    monkeypatch.setattr(storage, "_recover_staged", boom)
+    monkeypatch.setattr(storage, "_decode_staged", boom)
     with pytest.raises(RuntimeError, match="decode exploded"):
         storage.recover_file(out, tmp_path / "boom.back", chunk_lanes=64)
+    assert not list(out.rglob(".codeword.stage"))
+
+
+def test_striped_recover_emit_failure_reaps_pipeline(tmp_path,
+                                                     monkeypatch):
+    """If the emission stage of the recover pipeline dies on its worker
+    thread, the error must propagate and every stripe's staging memmap
+    must be reaped (the emitting stripe's via emit_job's finally, the
+    decoded-but-unsubmitted stripe's via the waiting branch)."""
+    src = _make_file(tmp_path, 11 * 4096, name="emitfail.bin")
+    out = tmp_path / "coded"
+    storage.encode_file(src, out, GF32, stripe_blocks=4)
+
+    def boom(*a, **kw):
+        raise RuntimeError("emit exploded")
+
+    monkeypatch.setattr(storage, "_emit_recovered", boom)
+    with pytest.raises(RuntimeError, match="emit exploded"):
+        storage.recover_file(out, tmp_path / "e.back", chunk_lanes=64)
     assert not list(out.rglob(".codeword.stage"))
 
 
