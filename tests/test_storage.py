@@ -378,21 +378,24 @@ def test_striped_single_stripe_is_plain_v1(tmp_path):
         assert f.read_bytes() == (b / f.name).read_bytes(), f.name
 
 
-def test_striped_cli_check_repair_recover(tmp_path):
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_striped_cli_check_repair_recover(tmp_path, field):
     """CLI check/repair/recover must dispatch on the striped manifest:
-    degraded stripe -> rc 1; repair restores every file; check -> 0;
+    degraded stripe -> rc 1; repair restores every file (batched native
+    emission, both data and parity kinds, both fields); check -> 0;
     recover reassembles bit-exactly."""
     src = _make_file(tmp_path, 13 * 4096 + 7, name="cli.bin")
     out = tmp_path / "coded"
-    storage.encode_file(src, out, GF32, stripe_blocks=4)
-    victims = sorted((out / "stripe_0001").glob("block_*.par"))[:2]
-    blobs = {v.name: v.read_bytes() for v in victims}
+    storage.encode_file(src, out, field, stripe_blocks=4)
+    victims = sorted((out / "stripe_0001").glob("block_*.par"))[:2] + \
+        sorted((out / "stripe_0002").glob("block_*.dat"))[:1]
+    blobs = {(v.parent.name, v.name): v.read_bytes() for v in victims}
     for v in victims:
         v.unlink()
-    assert cli.main(["check", str(out)]) == 1          # degraded stripe
+    assert cli.main(["check", str(out)]) == 1          # degraded stripes
     assert cli.main(["repair", str(out)]) == 0
-    for name, blob in blobs.items():
-        assert (out / "stripe_0001" / name).read_bytes() == blob
+    for (sdir, name), blob in blobs.items():
+        assert (out / sdir / name).read_bytes() == blob
     assert cli.main(["check", str(out)]) == 0          # healthy again
     dst = tmp_path / "cli.back"
     assert cli.main(["recover", str(out), "-o", str(dst)]) == 0
