@@ -83,6 +83,10 @@ def main() -> int:
                     help="residency budget handed to the planner")
     ap.add_argument("--workdir", default=".bench_io")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--repair", action="store_true",
+                    help="after recover+verify, also time the in-place "
+                         "repair of the still-missing block files and "
+                         "audit back to healthy")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon plugin ignores "
                          "JAX_PLATFORMS; must be set before first use)")
@@ -173,6 +177,30 @@ def main() -> int:
             if not ca:
                 break
     print(json.dumps({"op": "verify", "bit_exact": ok}), flush=True)
+
+    if args.repair and ok:
+        # repair phase: the block files deleted above are still missing
+        # (recover rebuilt the FILE, not the directory) — time rewriting
+        # them in place (decode + batched native emission + CRC re-tag
+        # checks), then audit back to healthy
+        anon = _AnonHighWater()
+        t0 = time.perf_counter()
+        rewrote = storage.recover_file(
+            coded, None, repair=True,
+            max_resident_bytes=args.max_resident_mb << 20)
+        dt = time.perf_counter() - t0
+        rep, rc = storage.check_file(
+            coded, max_resident_bytes=args.max_resident_mb << 20)
+        print(json.dumps({
+            "op": "repair_file_stream", "bytes": size,
+            "blocks_rewritten": rewrote,
+            "seconds": round(dt, 1),
+            "gb_per_sec": round(size / dt / 1e9, 4),
+            "rss_anon_high_water_mb": anon.stop(),
+            "post_repair_check": rep["status"],
+            "post_repair_rc": rc}), flush=True)
+        ok = ok and rc == 0
+
     if not args.keep:
         shutil.rmtree(wd)
     return 0 if ok else 1
