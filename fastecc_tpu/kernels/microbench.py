@@ -325,16 +325,39 @@ def fused_stage_gops(field_name: str = "GF32", c: int = 2048,
     return elems * math.log2(c) * depth / marginal / 1e9
 
 
+# The production-layout fused sub-transform rows of the peaks table
+# (profiling.MEASURED_PEAKS_V5E): key -> fused_stage_gops config.
+_FUSED_CONFIGS = {
+    "fused_gf32_c2048_gops": dict(field_name="GF32", c=2048),
+    "fused_gf32_c512_gops": dict(field_name="GF32", c=512),
+    "fused_gf16_c256_gops": dict(field_name="GF16", c=256),
+}
+
+
+def peak_key(variant: str) -> str:
+    """Canonical peaks-table key for a chain variant. Matches
+    profiling.MEASURED_PEAKS_V5E exactly (test-enforced): dashes
+    normalize to underscores ('raw-mul' -> 'raw_mul_gops'), and the
+    composite flat-layout stage variants carry a '_flat' marker to
+    distinguish them from the production-layout fused rates."""
+    suffix = "_flat_gops" if variant in _COMPOSITE else "_gops"
+    return variant.replace("-", "_") + suffix
+
+
 def measure_peaks(iters: int = 3, quick: bool = False) -> dict:
     """One-stop roofline measurement (feeds utils.profiling and the
-    DESIGN.md peak-vs-achieved table)."""
+    DESIGN.md peak-vs-achieved table). Emits every key of
+    profiling.MEASURED_PEAKS_V5E under the same names — including the
+    fused production-layout diagnostics — so the result can replace
+    that table wholesale or drop into pipeline_roofline(peaks=...)."""
     mib = 16 if quick else 64
     out = {"hbm_stream_gbps": round(
         hbm_stream_gbps(mib=128 if quick else 1024, iters=iters), 1)}
     for v in _VARIANTS:
-        # key convention matches profiling.MEASURED_PEAKS_V5E (underscores:
-        # 'raw-mul' -> 'raw_mul_gops'), so the dict drops straight into
-        # pipeline_roofline(peaks=...) — the documented re-measure flow
-        out[f"{v.replace('-', '_')}_gops"] = round(
+        out[peak_key(v)] = round(
             vpu_chain_gops(v, mib=mib, iters=iters), 1)
+    for key, cfg in _FUSED_CONFIGS.items():
+        out[key] = round(
+            fused_stage_gops(iters=iters, rows_tiles=16 if quick else 64,
+                             **cfg), 1)
     return out

@@ -121,16 +121,18 @@ def test_pallas_fused_postvec_select(field):
 
 
 def test_measure_peaks_key_contract():
-    """measure_peaks() feeds pipeline_roofline(peaks=...) directly, so
-    its emitted keys must cover every key the roofline consumes — the
-    dashed variant names ('raw-mul') must normalize to the underscore
-    convention ('raw_mul_gops') of MEASURED_PEAKS_V5E."""
+    """measure_peaks() advertises that its dict can replace
+    profiling.MEASURED_PEAKS_V5E wholesale, so its emitted key set must
+    cover EVERY key of that table under the exact same names (the
+    roofline keys and the diagnostic rows alike)."""
     from fastecc_tpu.kernels import microbench as mb
+    from fastecc_tpu.utils import profiling
 
-    emitted = {f"{v.replace('-', '_')}_gops" for v in mb._VARIANTS}
+    emitted = {mb.peak_key(v) for v in mb._VARIANTS}
     emitted.add("hbm_stream_gbps")
-    assert {"raw_mul_gops", "raw_add_gops",
-            "hbm_stream_gbps"} <= emitted
+    emitted |= set(mb._FUSED_CONFIGS)
+    missing = set(profiling.MEASURED_PEAKS_V5E) - emitted
+    assert not missing, f"measure_peaks never emits: {sorted(missing)}"
 
 
 def test_microbench_chain_kernels_interpret():

@@ -128,7 +128,7 @@ def main() -> int:
     dt = time.perf_counter() - t0
     striped = storage.is_striped(man)
     print(json.dumps({
-        "op": "encode_file_stream", "bytes": size,
+        "op": "encode_file", "striped": striped, "bytes": size,
         "seconds": round(dt, 1),
         "gb_per_sec": round(size / dt / 1e9, 4),
         "max_resident_mb_budget": args.max_resident_mb,
@@ -160,7 +160,7 @@ def main() -> int:
         coded, back, max_resident_bytes=args.max_resident_mb << 20)
     dt = time.perf_counter() - t0
     print(json.dumps({
-        "op": "recover_file_stream", "bytes": size,
+        "op": "recover_file", "striped": striped, "bytes": size,
         "blocks_reconstructed": wrote,
         "seconds": round(dt, 1),
         "gb_per_sec": round(size / dt / 1e9, 4),
@@ -192,7 +192,7 @@ def main() -> int:
         rep, rc = storage.check_file(
             coded, max_resident_bytes=args.max_resident_mb << 20)
         print(json.dumps({
-            "op": "repair_file_stream", "bytes": size,
+            "op": "repair_file", "striped": striped, "bytes": size,
             "blocks_rewritten": rewrote,
             "seconds": round(dt, 1),
             "gb_per_sec": round(size / dt / 1e9, 4),
