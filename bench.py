@@ -291,6 +291,28 @@ def main():
         except Exception:  # noqa: BLE001 - secondary metric, best-effort
             g16_secs = g16_gbps = g16_marg = None
 
+    # self-certification: each marginal as % of its op-count
+    # speed-of-light (cli roofline / DESIGN.md §4). Chip numbers only —
+    # the pinned peaks are v5e rates, meaningless for the CPU fallback.
+    sol = {}
+    if backend_fallback is None:
+        from fastecc_tpu.utils import profiling
+        seam = ntt_mfa.PAIR_ENABLED
+        if marginal:
+            b = profiling.encode_roofline(n, args.lanes, seam=seam)
+            sol["encode"] = round(100 * b["speed_of_light_s"] / marginal)
+        if ntt_marg:
+            b = profiling.ntt_roofline(1 << 20, 512)
+            sol["ntt"] = round(100 * b["speed_of_light_s"] / ntt_marg)
+        if dec_secs:
+            b = profiling.decode_roofline(1 << 20, 512, seam=seam)
+            sol["decode"] = round(100 * b["speed_of_light_s"] / dec_secs)
+        if g16_marg:
+            b = profiling.encode_roofline(1 << 14, 1 << 15,
+                                          field_name="GF16", seam=seam)
+            sol["gf16_encode"] = round(
+                100 * g16_marg / (b["speed_of_light_gbps"] / 2))
+
     gbps = total_bytes / secs / 1e9
     # Both throughput conventions, so nobody is misled by either: the
     # codeword rate counts all n blocks produced (data pass through by
@@ -321,6 +343,7 @@ def main():
                    "gf16_encode_2e14_seconds": g16_secs,
                    "gf16_encode_wire_gb_per_sec": g16_gbps,
                    "gf16_marginal_wire_gb_per_sec": g16_marg,
+                   "pct_of_speed_of_light": sol or None,
                    "device": str(jax.devices()[0]).strip()},
     }))
 

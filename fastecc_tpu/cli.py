@@ -599,6 +599,46 @@ def cmd_repair(args):
     return 0
 
 
+def cmd_roofline(args):
+    """Speed-of-light bound for a pipeline config (the DESIGN.md §4
+    model, reproducible in one command): exact per-element VPU op
+    counts priced at the measured raw op rates, plus the HBM pass
+    bound. No device work — the peaks are the pinned v5e table unless
+    ``--peaks-json`` supplies a re-measured one (`cli gf-bench
+    --variant all` output on new hardware)."""
+    from .utils import profiling
+
+    peaks = None
+    if args.peaks_json:
+        with open(args.peaks_json) as fh:
+            peaks = json.load(fh)
+        peaks.pop("op", None)   # accept gf-bench's JSON line verbatim
+    field = _field(args.field)
+    n = 1 << args.lg_n
+    seam = args.seam != "off"
+    if args.pipeline == "encode":
+        r = profiling.encode_roofline(n, args.lanes, peaks=peaks,
+                                      field_name=field.name, seam=seam)
+    elif args.pipeline == "decode":
+        r = profiling.decode_roofline(n, args.lanes, peaks=peaks,
+                                      field_name=field.name, seam=seam)
+    else:
+        r = profiling.ntt_roofline(n, args.lanes, peaks=peaks,
+                                   field_name=field.name)
+    out = {"op": "roofline", "pipeline": args.pipeline,
+           "field": field.name, "lg_n": args.lg_n, "lanes": args.lanes,
+           "seam": None if args.pipeline == "ntt" else seam}
+    out.update({k: round(v, 6) if isinstance(v, float) else v
+                for k, v in r.items()})
+    if field.name == "GF16":
+        # wire accounting: a GF16 lane is a 2-byte word (the in-HBM u32
+        # rate is exactly 2x) — report both, like bench.py
+        out["speed_of_light_wire_gbps"] = round(
+            r["speed_of_light_gbps"] / 2, 6)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_scaling(args):
     """Weak-scaling sweep over mesh sizes (emits BASELINE.md-style rows).
 
@@ -769,6 +809,23 @@ def main(argv=None):
                    help="stream codewords larger than this (memmap "
                         "staging + lane-chunk decode)")
     p.set_defaults(fn=cmd_repair)
+
+    p = sub.add_parser("roofline", help="speed-of-light bound for a "
+                                        "pipeline config (op-count "
+                                        "model, DESIGN.md §4)")
+    p.add_argument("--pipeline", default="encode",
+                   choices=["encode", "decode", "ntt"])
+    p.add_argument("--lg-n", type=int, default=20,
+                   help="log2 of total codeword blocks (encode/decode) "
+                        "or transform points (ntt)")
+    p.add_argument("--lanes", type=int, default=1024)
+    p.add_argument("--seam", default="on", choices=["on", "off"],
+                   help="price the 3-pass seam-fused transform pair vs "
+                        "the 4 staged passes (ignored for ntt)")
+    p.add_argument("--peaks-json", default=None, metavar="FILE",
+                   help="re-measured peaks table (`gf-bench --variant "
+                        "all` JSON) instead of the pinned v5e peaks")
+    p.set_defaults(fn=cmd_roofline)
 
     p = sub.add_parser("scaling", help="weak-scaling sweep over mesh sizes")
     p.add_argument("--devices", type=int, default=8)

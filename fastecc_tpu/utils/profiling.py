@@ -136,6 +136,34 @@ def pipeline_roofline(field_name: str, transform_len: int, lanes: int,
     }
 
 
+def ntt_roofline(n: int, lanes: int, peaks: dict | None = None,
+                 field_name: str = "GF32"):
+    """Single-transform speed-of-light: one fused four-step NTT/iNTT =
+    2 HBM read+write passes (pass A + pass B) and 1 extra multiply per
+    element (the four-step twiddle; the inverse's 1/N folds into the
+    same table at no extra cost). GB/s counts array bytes once."""
+    return pipeline_roofline(field_name, n, lanes, n_transforms=1,
+                             extra_mulmods_per_elem=1.0, hbm_passes=2.0,
+                             peaks=peaks)
+
+
+def decode_roofline(n: int, lanes: int, peaks: dict | None = None,
+                    field_name: str = "GF32", seam: bool = True):
+    """Prepared erasure-decode speed-of-light (decode.decode_prepared):
+    two n-point transforms with 4 extra multiplies per element — the
+    two four-step twiddle epilogues, the locator-evaluation prologue,
+    and the fused Forney epilogue. (The derivative prologue multiply is
+    deliberately omitted: op-count ties break toward FEWER ops so the
+    bound stays a true speed-of-light — see _STAGE_OPS note above.)
+    ``seam`` prices the 3-pass fused pair; ``seam=False`` the 4 staged
+    passes. Decode is compute-bound at every relevant shape, so both
+    usually report the same bound. GB/s counts codeword bytes once."""
+    return pipeline_roofline(field_name, n, lanes, n_transforms=2,
+                             extra_mulmods_per_elem=4.0,
+                             hbm_passes=3.0 if seam else 4.0,
+                             peaks=peaks)
+
+
 def encode_roofline(n_blocks: int, lanes: int, peaks: dict | None = None,
                     field_name: str = "GF32", seam: bool = True):
     """RS-encode speed-of-light (coset fast path: iNTT_k + coset NTT_k,

@@ -290,3 +290,54 @@ def test_recover_check_corrects_lying_survivor(tmp_path):
     dst = tmp_path / "back.bin"
     assert cli.main(["recover", str(out), "-o", str(dst), "--check"]) == 0
     assert dst.read_bytes() == src.read_bytes()
+
+
+def test_roofline_pins_design_table(capsys, tmp_path):
+    """`cli roofline` must reproduce the DESIGN.md §4 speed-of-light
+    table exactly (staged-pass pricing, --seam off): encode 0.107 s,
+    NTT 0.054 s, decode 0.116 s compute-bound; GF16 encode 0.0149 s
+    MEMORY-bound. Pins both the op-count model and the doc."""
+    import json
+
+    def row(argv):
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip())
+
+    r = row(["roofline", "--pipeline", "encode", "--lg-n", "20",
+             "--lanes", "1024", "--seam", "off"])
+    assert r["bound"] == "compute"
+    assert round(r["speed_of_light_s"], 3) == 0.107
+
+    r = row(["roofline", "--pipeline", "ntt", "--lg-n", "20",
+             "--lanes", "512"])
+    assert r["seam"] is None
+    assert round(r["speed_of_light_s"], 3) == 0.054
+
+    r = row(["roofline", "--pipeline", "decode", "--lg-n", "20",
+             "--lanes", "512", "--seam", "off"])
+    assert r["bound"] == "compute"
+    assert round(r["speed_of_light_s"], 3) == 0.116
+
+    r = row(["--field", "gf16", "roofline", "--pipeline", "encode",
+             "--lg-n", "14", "--lanes", "32768", "--seam", "off"])
+    assert r["bound"] == "memory"
+    assert round(r["speed_of_light_s"], 4) == 0.0149
+    assert round(r["speed_of_light_wire_gbps"], 1) == round(
+        r["speed_of_light_gbps"] / 2, 1)
+
+    # the seam pricing drops the GF16 memory bound by exactly 1/4 and a
+    # --peaks-json override is honored (double the HBM rate -> half the
+    # memory-bound time)
+    r_seam = row(["--field", "gf16", "roofline", "--pipeline", "encode",
+                  "--lg-n", "14", "--lanes", "32768"])
+    assert round(r_seam["t_memory_bound_s"] / r["t_memory_bound_s"], 3) \
+        == 0.75
+    from fastecc_tpu.utils.profiling import MEASURED_PEAKS_V5E
+    fake = dict(MEASURED_PEAKS_V5E,
+                hbm_stream_gbps=2 * MEASURED_PEAKS_V5E["hbm_stream_gbps"])
+    pf = tmp_path / "peaks.json"
+    pf.write_text(json.dumps({"op": "gf_peaks", **fake}))
+    r2 = row(["--field", "gf16", "roofline", "--pipeline", "encode",
+              "--lg-n", "14", "--lanes", "32768", "--seam", "off",
+              "--peaks-json", str(pf)])
+    assert round(r2["t_memory_bound_s"] / r["t_memory_bound_s"], 3) == 0.5
