@@ -599,6 +599,22 @@ def cmd_repair(args):
     return 0
 
 
+def cmd_update(args):
+    """Incremental partial write: splice FILE's bytes into the encoded
+    payload at --offset and update the touched data blocks and all
+    parity files in place — rank-1 parity updates
+    (rs.update_parity_multi at directory level) instead of a full
+    re-encode. The directory stays bit-identical to a fresh encode of
+    the edited payload. For edits spanning more than ~2*log2(k) blocks
+    a full re-encode is cheaper."""
+    from . import storage
+    data = pathlib.Path(args.file).read_bytes()
+    nblocks = storage.update_file(args.dir, args.offset, data)
+    print(f"updated {nblocks} data block(s) + parity at offset "
+          f"{args.offset} ({len(data)} bytes)")
+    return 0
+
+
 def cmd_roofline(args):
     """Speed-of-light bound for a pipeline config (the DESIGN.md §4
     model, reproducible in one command): exact per-element VPU op
@@ -809,6 +825,16 @@ def main(argv=None):
                    help="stream codewords larger than this (memmap "
                         "staging + lane-chunk decode)")
     p.set_defaults(fn=cmd_repair)
+
+    p = sub.add_parser("update", help="splice changed bytes into a "
+                                      "coded directory (incremental "
+                                      "parity update, no re-encode)")
+    p.add_argument("dir")
+    p.add_argument("file", help="file holding the new bytes")
+    p.add_argument("--offset", type=int, required=True,
+                   help="byte offset of the edit in the encoded payload "
+                        "(the file size cannot change)")
+    p.set_defaults(fn=cmd_update)
 
     p = sub.add_parser("roofline", help="speed-of-light bound for a "
                                         "pipeline config (op-count "

@@ -238,13 +238,25 @@ def update_parity_multi(parity, idxs: tuple, old_blocks, new_blocks,
     k = n - m
     _check_kn(k, n)
     assert len(idxs) == old_blocks.shape[0] == new_blocks.shape[0]
+    assert all(0 <= i < k for i in idxs)
     delta = gf.sub(field, jnp.asarray(new_blocks), jnp.asarray(old_blocks))
-    acc = parity
-    for j, i in enumerate(idxs):
-        assert 0 <= i < k
-        v = jnp.asarray(_update_row_consts(field.name, n, k, int(i)))
+    vs = np.stack([_update_row_consts(field.name, n, k, int(i))
+                   for i in idxs])
+    return apply_parity_update(parity, vs, delta, field)
+
+
+def apply_parity_update(parity_rows, vs, delta, field: FieldSpec):
+    """``parity_rows[r] += sum_j vs[j, r] * delta[j]`` — the batched core
+    of :func:`update_parity_multi`, row-sliceable. ``vs`` is the [s, B]
+    prepared L_i(y_r) response constants (``_update_row_consts`` rows,
+    column-sliced to this batch's parity rows) and ``delta`` the [s, L]
+    field-domain block deltas. Exposed so out-of-core callers can stream
+    parity rows through it in batches (storage.update_file)."""
+    acc = jnp.asarray(parity_rows)
+    vs = jnp.asarray(vs)
+    for j in range(delta.shape[0]):
         acc = gf.add(field, acc,
-                     mul_prepared(field, delta[j:j + 1], v[:, None]))
+                     mul_prepared(field, delta[j:j + 1], vs[j][:, None]))
     return acc
 
 

@@ -960,6 +960,157 @@ def check_file(src_dir, max_resident_bytes: int =
     return report, worst
 
 
+def _update_stripe(src_dir: pathlib.Path, offset: int, data: bytes,
+                   batch: int = 256) -> int:
+    """In-place partial write of one v1 codeword directory: splice
+    ``data`` at byte ``offset`` of the stripe's payload and update every
+    parity file incrementally (parity' = parity + sum_i L_i * delta_i,
+    rs.apply_parity_update) — the RAID partial-stripe write at file
+    level. Parity streams through in ``batch``-row groups, so residency
+    is O(touched_blocks * lanes + batch * lanes) regardless of k.
+
+    Requires the touched data blocks and ALL parity files present and
+    CRC-clean — an update through missing/lying rows would bake the
+    inconsistency into the new parity; run repair first. Returns the
+    number of data blocks that actually changed."""
+    import jax
+
+    from . import host, rs
+    from .fields import FIELDS
+
+    man = json.loads((src_dir / "manifest.json").read_text())
+    assert not is_striped(man), "stripe dirs are v1 by construction"
+    field = FIELDS[man["field"]]
+    k, n, bb, size = man["k"], man["n"], man["block_bytes"], man["size"]
+    tags = man.get("crc32c") or {}
+    assert 0 <= offset and offset + len(data) <= size, (
+        f"byte range [{offset}, {offset + len(data)}) outside the "
+        f"{size}-byte payload (updates cannot change the file size)")
+    if not data:
+        return 0
+
+    dpos = rs.data_positions(n, k)
+    ppos = rs.parity_positions(n, k)
+    i0, i1 = offset // bb, (offset + len(data) - 1) // bb
+    idxs = list(range(i0, i1 + 1))
+
+    # splice the edit into the touched blocks' current content
+    old_rows = np.zeros((len(idxs), bb), np.uint8)
+    for j, i in enumerate(idxs):
+        f = src_dir / f"block_{int(dpos[i]):06d}.dat"
+        if not f.exists():
+            raise ValueError(
+                f"data block {int(dpos[i])} is missing; repair the "
+                f"directory before updating it")
+        raw = np.frombuffer(f.read_bytes(), np.uint8)
+        t = tags.get(str(int(dpos[i])))
+        if t is not None and int(host.crc32c_blocks(raw[None])[0]) != t:
+            raise ValueError(
+                f"data block {int(dpos[i])} fails its CRC tag; repair "
+                f"the directory before updating it")
+        old_rows[j] = raw
+    new_rows = old_rows.copy()
+    lo = offset - i0 * bb
+    new_rows.reshape(-1)[lo: lo + len(data)] = np.frombuffer(
+        data, np.uint8)
+    changed = np.flatnonzero(np.any(new_rows != old_rows, axis=1))
+    if changed.size == 0:
+        return 0
+    idxs = [idxs[int(c)] for c in changed]
+    old_rows, new_rows = old_rows[changed], new_rows[changed]
+
+    # all parity files must be present (checked before any write)
+    p_files = {int(p): src_dir / f"block_{int(p):06d}.par" for p in ppos}
+    missing = [p for p, f in p_files.items() if not f.exists()]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} parity blocks missing (first: "
+            f"{missing[0]}); repair the directory before updating it")
+
+    import jax.numpy as jnp
+
+    native = host.available() and bb == packing.BLOCK_BYTES
+    if native:
+        oldp, newp = host.pack_data(old_rows, field), \
+            host.pack_data(new_rows, field)
+    else:
+        oldp = np.asarray(packing.pack_data(jnp.asarray(old_rows), field))
+        newp = np.asarray(packing.pack_data(jnp.asarray(new_rows), field))
+    from . import gf
+    delta = jax.device_put(gf.sub(field, jnp.asarray(newp),
+                                  jnp.asarray(oldp)))
+    # [s, n-k] response constants; row r of vs columns == parity row r
+    # (encode_parity order). O(s * (n-k)) host ints + O(s*(n-k)*lanes)
+    # device work: for edits touching more than ~2*log2(k) blocks a full
+    # re-encode of the stripe is cheaper — callers choose.
+    vs = np.stack([rs._update_row_consts(field.name, n, k, int(i))
+                   for i in idxs])
+    row_of = {int(p): r for r, p in enumerate(ppos)}
+    apply_jit = jax.jit(rs.apply_parity_update, static_argnames=("field",))
+
+    for grp, packed, ok in _pack_rows_batched(p_files, field, bb,
+                                              "parity", tags or None,
+                                              batch=batch):
+        if not ok.all():
+            bad = grp[int(np.flatnonzero(~ok)[0])]
+            raise ValueError(
+                f"parity block {bad} fails its CRC tag; repair the "
+                f"directory before updating it")
+        rows = [row_of[p] for p in grp]
+        upd = np.asarray(apply_jit(packed, vs[:, rows], delta, field))
+        if native:
+            blobs = host.serialize_parity(upd, field)
+        else:
+            blobs = np.asarray(packing.serialize_parity(jnp.asarray(upd),
+                                                        field))
+        crcs = host.crc32c_blocks(blobs)
+        for j, p in enumerate(grp):
+            p_files[p].write_bytes(blobs[j].tobytes())
+            if tags:
+                tags[str(p)] = int(crcs[j])
+
+    crcs = host.crc32c_blocks(new_rows)
+    for j, i in enumerate(idxs):
+        pos = int(dpos[i])
+        (src_dir / f"block_{pos:06d}.dat").write_bytes(
+            new_rows[j].tobytes())
+        if tags:
+            tags[str(pos)] = int(crcs[j])
+    if tags:
+        man["crc32c"] = tags
+        (src_dir / "manifest.json").write_text(json.dumps(man))
+    return len(idxs)
+
+
+def update_file(src_dir, offset: int, data: bytes,
+                batch: int = 256) -> int:
+    """Striping-aware incremental partial write: splice ``data`` at byte
+    ``offset`` of the encoded file and update the affected stripes'
+    data-block files AND parity files in place, WITHOUT re-encoding —
+    O(touched_blocks * (n-k) * lanes) work instead of a full encode
+    (rs.update_parity_multi's rank-1 updates at directory level). The
+    directory remains bit-identical to a fresh encode of the edited
+    payload (test-enforced). The file size cannot change. Returns the
+    number of data blocks rewritten."""
+    src_dir = pathlib.Path(src_dir)
+    man = json.loads((src_dir / "manifest.json").read_text())
+    data = bytes(data)
+    if not is_striped(man):
+        return _update_stripe(src_dir, offset, data, batch)
+    assert 0 <= offset and offset + len(data) <= man["size"], (
+        f"byte range [{offset}, {offset + len(data)}) outside the "
+        f"{man['size']}-byte payload")
+    sb = man["stripe_blocks"] * man["block_bytes"]
+    total = 0
+    for s, st in enumerate(man["stripes"]):
+        lo, hi = s * sb, s * sb + st["size"]
+        a, b = max(offset, lo), min(offset + len(data), hi)
+        if a < b:
+            total += _update_stripe(src_dir / st["dir"], a - lo,
+                                    data[a - offset: b - offset], batch)
+    return total
+
+
 def _streamed_locate(cstage, erased, field, n, k, lanes, cl,
                      entropy=None, retries: int = 1):
     """Accumulate two independent syndrome lane-combos across lane

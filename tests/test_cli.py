@@ -341,3 +341,30 @@ def test_roofline_pins_design_table(capsys, tmp_path):
               "--lg-n", "14", "--lanes", "32768", "--seam", "off",
               "--peaks-json", str(pf)])
     assert round(r2["t_memory_bound_s"] / r["t_memory_bound_s"], 3) == 0.5
+
+
+def test_update_splices_and_stays_recoverable(tmp_path):
+    """cli update: incremental partial write, then recover returns the
+    edited payload."""
+    rng = np.random.default_rng(0xED17)
+    payload = bytearray(rng.integers(0, 256, 3 * 4096 + 99,
+                                     dtype=np.uint16)
+                        .astype(np.uint8).tobytes())
+    src = tmp_path / "doc.bin"
+    src.write_bytes(bytes(payload))
+    coded = tmp_path / "coded"
+    assert main(["encode", str(src), "-o", str(coded)]) == 0
+
+    edit = b"the new contents of the middle of the document"
+    off = 4096 + 17
+    payload[off: off + len(edit)] = edit
+    patch = tmp_path / "patch.bin"
+    patch.write_bytes(edit)
+    assert main(["update", str(coded), str(patch),
+                 "--offset", str(off)]) == 0
+
+    for f in sorted(coded.glob("block_*.dat")):
+        f.unlink()                 # lose ALL data blocks
+    back = tmp_path / "back.bin"
+    assert main(["recover", str(coded), "-o", str(back)]) == 0
+    assert back.read_bytes() == bytes(payload)

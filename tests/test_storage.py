@@ -643,3 +643,117 @@ def test_plan_word_chunk_warns_on_unaligned_budget_blowout():
         storage._plan_word_chunk(GF32, k=1 << 16, words=32,
                                  max_resident_bytes=1 << 20)
     assert not w
+
+
+def _dirs_bit_identical(a, b):
+    names_a = sorted(p.name for p in a.iterdir())
+    names_b = sorted(p.name for p in b.iterdir())
+    assert names_a == names_b
+    for name in names_a:
+        if (a / name).is_dir():
+            _dirs_bit_identical(a / name, b / name)
+        else:
+            assert (a / name).read_bytes() == (b / name).read_bytes(), name
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_update_file_bit_identical_to_reencode(tmp_path, field):
+    """update_file's partial write leaves the directory BIT-identical to
+    a fresh encode of the edited payload (block files, parity files, CRC
+    manifest), including a tail-block edit on an odd-sized file."""
+    src = _make_file(tmp_path, 5 * 4096 + 777, name="payload.bin")
+    out = tmp_path / "coded"
+    assert cli.main(["--field", field.name, "encode", str(src),
+                     "-o", str(out)]) == 0
+
+    payload = bytearray(src.read_bytes())
+    edit = bytes(RNG.integers(0, 256, 5000, dtype=np.uint16)
+                 .astype(np.uint8))
+    off = 3 * 4096 - 100          # spans blocks 2..4
+    payload[off: off + len(edit)] = edit
+    assert storage.update_file(out, off, edit) == 3
+    tail = b"\xFF\x00\xEE"        # tail-block edit, last live bytes
+    toff = len(payload) - len(tail)
+    payload[toff:] = tail
+    assert storage.update_file(out, toff, tail) == 1
+
+    fresh_src = tmp_path / "fresh" / "payload.bin"
+    fresh_src.parent.mkdir()
+    fresh_src.write_bytes(bytes(payload))
+    fresh = tmp_path / "fresh" / "coded"
+    assert cli.main(["--field", field.name, "encode", str(fresh_src),
+                     "-o", str(fresh)]) == 0
+    _dirs_bit_identical(out, fresh)
+
+    # and the updated directory recovers the edited payload after loss
+    files = sorted(out.glob("block_*.dat")) + sorted(out.glob("block_*.par"))
+    for i in RNG.choice(len(files), size=len(files) // 2, replace=False):
+        files[i].unlink()
+    dst = tmp_path / "recovered.bin"
+    assert cli.main(["recover", str(out), "-o", str(dst)]) == 0
+    assert dst.read_bytes() == bytes(payload)
+
+
+def test_update_file_striped_and_noop(tmp_path):
+    """A cross-stripe edit updates exactly the touched stripes (again
+    bit-identical to re-encoding); an edit equal to the current bytes is
+    a no-op returning 0."""
+    src = _make_file(tmp_path, 21 * 4096 + 123, name="big.bin")
+    out = tmp_path / "coded"
+    man = storage.encode_file(src, out, GF32, stripe_blocks=8)
+    assert storage.is_striped(man)
+
+    payload = bytearray(src.read_bytes())
+    edit = bytes(RNG.integers(0, 256, 3 * 4096, dtype=np.uint16)
+                 .astype(np.uint8))
+    off = 7 * 4096 + 50           # spans stripe 0 block 7 -> stripe 1
+    payload[off: off + len(edit)] = edit
+    before_s2 = {p.name: p.read_bytes()
+                 for p in (out / "stripe_0002").iterdir()}
+    assert storage.update_file(out, off, edit) == 4   # 1 + 3 blocks
+    after_s2 = {p.name: p.read_bytes()
+                for p in (out / "stripe_0002").iterdir()}
+    assert before_s2 == after_s2  # untouched stripe is untouched
+
+    fresh_src = tmp_path / "fresh" / "big.bin"
+    fresh_src.parent.mkdir()
+    fresh_src.write_bytes(bytes(payload))
+    fresh = tmp_path / "fresh" / "coded"
+    storage.encode_file(fresh_src, fresh, GF32, stripe_blocks=8)
+    _dirs_bit_identical(out, fresh)
+
+    # no-op: splicing identical bytes touches nothing
+    assert storage.update_file(out, off, edit) == 0
+    _dirs_bit_identical(out, fresh)
+
+
+def test_update_file_refuses_degraded_and_oob(tmp_path):
+    """update requires a healthy window: missing data block, missing
+    parity, CRC-forged data block, and out-of-range edits all refuse
+    loudly before any write."""
+    src = _make_file(tmp_path, 4 * 4096, name="p.bin")
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    snapshot = {p.name: p.read_bytes() for p in out.iterdir()}
+
+    with pytest.raises(AssertionError, match="outside"):
+        storage.update_file(out, 4 * 4096 - 2, b"xyz")
+
+    (out / "block_000002.dat").rename(out / "hide")
+    with pytest.raises(ValueError, match="missing"):
+        storage.update_file(out, 4096 + 5, b"abc")
+    (out / "hide").rename(out / "block_000002.dat")
+
+    par = sorted(out.glob("block_*.par"))[1]
+    par.rename(out / "hide")
+    with pytest.raises(ValueError, match="parity"):
+        storage.update_file(out, 0, b"abc")
+    (out / "hide").rename(par)
+
+    good = (out / "block_000002.dat").read_bytes()
+    (out / "block_000002.dat").write_bytes(b"\x5A" + good[1:])
+    with pytest.raises(ValueError, match="CRC"):
+        storage.update_file(out, 4096 + 5, b"abc")
+    (out / "block_000002.dat").write_bytes(good)
+
+    assert snapshot == {p.name: p.read_bytes() for p in out.iterdir()}
