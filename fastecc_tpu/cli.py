@@ -680,30 +680,42 @@ def cmd_scaling(args):
     import jax.numpy as jnp
     from . import rs
     from .parallel import make_mesh
-    from .parallel.ntt_dist import (encode_parity_sharded_jit,
+    from .parallel.ntt_dist import (decode_sharded,
+                                    encode_parity_sharded_jit,
                                     ntt_sharded_jit,
                                     ntt_sharded_overlap_jit)
     from .utils.timer import time_fn
     field = _field(args.field)
     k = 1 << args.lg_k
+    erased = (np.sort(np.random.default_rng(0).choice(
+        2 * k, size=k, replace=False)).astype(np.uint32)
+        if args.op == "decode" else None)
     rows = []
     d = 1
     base = None
     while d <= args.devices:
         mesh = make_mesh(d, 1, devices=devices[:d])
         lanes = args.lanes * d                     # weak scaling: grow work
-        x = jnp.asarray(_rand(field, (k, lanes)))
+        if args.op == "decode":
+            # a real [n, lanes] codeword with the max n-k rows erased
+            from . import rs
+            x = rs.encode_jit(jnp.asarray(_rand(field, (k, lanes))),
+                              field, 2 * k)
+        else:
+            x = jnp.asarray(_rand(field, (k, lanes)))
         fn = {
             "encode": lambda v: encode_parity_sharded_jit(
                 v, field, mesh, 2 * k),
+            "decode": lambda v: decode_sharded(v, erased, field, mesh),
             "ntt": lambda v: ntt_sharded_jit(v, field, mesh),
             "ntt-overlap": lambda v: ntt_sharded_overlap_jit(
                 v, field, mesh, chunks=min(args.overlap_chunks, lanes)),
         }[args.op]
         secs = time_fn(fn, x, iters=args.iters)
-        # encode emits an n=2k codeword from [k, lanes]; the NTT ops
-        # transform [k, lanes] in place — count what each op processes
-        factor = 2 if args.op == "encode" else 1
+        # encode emits an n=2k codeword from [k, lanes]; decode consumes
+        # one; the NTT ops transform [k, lanes] in place — count what
+        # each op processes
+        factor = 2 if args.op in ("encode", "decode") else 1
         gbps = factor * k * lanes * 4 / secs / 1e9
         eff = 1.0 if base is None else gbps / (base * d)
         base = base or gbps
@@ -859,9 +871,10 @@ def main(argv=None):
     p.add_argument("--lanes", type=int, default=8)
     p.add_argument("--iters", type=int, default=2)
     p.add_argument("--op", default="encode",
-                   choices=["encode", "ntt", "ntt-overlap"],
-                   help="pipeline under test (ntt-overlap = the "
-                        "double-buffered collective/compute variant)")
+                   choices=["encode", "decode", "ntt", "ntt-overlap"],
+                   help="pipeline under test (decode = sharded erasure "
+                        "decode at max loss; ntt-overlap = the double-"
+                        "buffered collective/compute variant)")
     p.add_argument("--overlap-chunks", type=int, default=2)
     p.set_defaults(fn=cmd_scaling)
 

@@ -206,3 +206,22 @@ def test_overlap_pipeline_matches_plain(field, inverse):
     got4 = np.asarray(ntt_sharded_overlap_jit(x, field, mesh,
                                               inverse=inverse, chunks=4))
     np.testing.assert_array_equal(got4, want)
+
+
+@pytest.mark.parametrize("op", ["encode", "decode", "ntt", "ntt-overlap"])
+def test_cli_scaling_sweep(op, capsys):
+    """cli scaling emits one JSON row per mesh size for every op, each
+    tagged virtual on the CPU mesh (rows must never be mistaken for perf
+    data) with a weak-scaling efficiency field."""
+    import json
+
+    from fastecc_tpu.cli import main
+
+    assert main(["scaling", "--op", op, "--devices", "4",
+                 "--lg-k", "6", "--lanes", "8", "--iters", "1"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["devices"] for r in rows] == [1, 2, 4]
+    assert all(r["virtual"] for r in rows)
+    assert rows[0]["weak_scaling_eff"] == 1.0
+    assert all(r["gb_per_sec"] > 0 for r in rows)
