@@ -599,6 +599,23 @@ def cmd_repair(args):
     return 0
 
 
+def cmd_read(args):
+    """Ranged read — the serving primitive: return bytes
+    [--offset, --offset + --length) of the encoded payload without
+    recovering the file. Missing/CRC-lying covering blocks trigger a
+    degraded read: an erasure decode restricted to the word-column
+    window the range touches (O(n * window), not O(n * block))."""
+    from . import storage
+    data = storage.read_file(args.dir, args.offset, args.length)
+    if args.out:
+        pathlib.Path(args.out).write_bytes(data)
+        print(f"read {len(data)} bytes at offset {args.offset} "
+              f"-> {args.out}")
+    else:
+        sys.stdout.buffer.write(data)
+    return 0
+
+
 def cmd_update(args):
     """Incremental partial write: splice FILE's bytes into the encoded
     payload at --offset and update the touched data blocks and all
@@ -837,6 +854,16 @@ def main(argv=None):
                    help="stream codewords larger than this (memmap "
                         "staging + lane-chunk decode)")
     p.set_defaults(fn=cmd_repair)
+
+    p = sub.add_parser("read", help="ranged read from a coded directory "
+                                    "(degraded reads decode only the "
+                                    "touched column window)")
+    p.add_argument("dir")
+    p.add_argument("--offset", type=int, required=True)
+    p.add_argument("--length", type=int, required=True)
+    p.add_argument("-o", "--out", default=None,
+                   help="output file (default: stdout)")
+    p.set_defaults(fn=cmd_read)
 
     p = sub.add_parser("update", help="splice changed bytes into a "
                                       "coded directory (incremental "

@@ -368,3 +368,21 @@ def test_update_splices_and_stays_recoverable(tmp_path):
     back = tmp_path / "back.bin"
     assert main(["recover", str(coded), "-o", str(back)]) == 0
     assert back.read_bytes() == bytes(payload)
+
+
+def test_read_serves_range_from_degraded_dir(tmp_path, capsys):
+    """cli read: ranged read to a file, served through a degraded
+    directory."""
+    rng = np.random.default_rng(0x4EAD)
+    payload = rng.integers(0, 256, 4 * 4096 + 55, dtype=np.uint16) \
+        .astype(np.uint8).tobytes()
+    src = tmp_path / "d.bin"
+    src.write_bytes(payload)
+    coded = tmp_path / "coded"
+    assert main(["encode", str(src), "-o", str(coded)]) == 0
+    for f in sorted(coded.glob("block_*.dat")):
+        f.unlink()                        # all data gone; parity serves
+    out = tmp_path / "range.bin"
+    assert main(["read", str(coded), "--offset", "4000",
+                 "--length", "500", "-o", str(out)]) == 0
+    assert out.read_bytes() == payload[4000:4500]

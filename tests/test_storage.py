@@ -757,3 +757,100 @@ def test_update_file_refuses_degraded_and_oob(tmp_path):
     (out / "block_000002.dat").write_bytes(good)
 
     assert snapshot == {p.name: p.read_bytes() for p in out.iterdir()}
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_read_file_healthy_and_degraded(tmp_path, field):
+    """read_file serves ranges from healthy directories directly and
+    decodes through maximum loss — including when every block covering
+    the range is gone and a covering survivor LIES (stale CRC)."""
+    src = _make_file(tmp_path, 6 * 4096 + 501, name="pay.bin")
+    payload = src.read_bytes()
+    out = tmp_path / "coded"
+    assert cli.main(["--field", field.name, "encode", str(src),
+                     "-o", str(out)]) == 0
+    man = json.loads((out / "manifest.json").read_text())
+    k, n = man["k"], man["n"]
+
+    def rd(off, ln):
+        return storage.read_file(out, off, ln)
+
+    # healthy: a mid-file range, a cross-block range, the odd tail
+    assert rd(5000, 3000) == payload[5000:8000]
+    assert rd(0, 1) == payload[:1]
+    assert rd(len(payload) - 7, 7) == payload[-7:]
+    assert rd(100, 0) == b""
+
+    # degrade to max loss biased at the read's covering blocks: drop
+    # data blocks 1..2 (cover bytes [4096, 12288)) and enough others
+    from fastecc_tpu import rs
+    dpos = rs.data_positions(n, k)
+    victims = {int(dpos[1]), int(dpos[2])}
+    files = sorted(out.glob("block_*.dat")) + sorted(out.glob("block_*.par"))
+    for f in files:
+        pos = int(f.stem.split("_")[1])
+        if pos in victims:
+            f.unlink()
+    # drop one fewer than max loss, leaving capacity for the liar below
+    # (block 3 is exempted so the liar branch always executes)
+    others = [f for f in files
+              if f.exists() and int(f.stem.split("_")[1]) != int(dpos[3])]
+    for i in RNG.choice(len(others), size=(n - k) - len(victims) - 1,
+                        replace=False):
+        others[i].unlink()
+    got = rd(4096 + 123, 5000)            # spans blocks 1..2 only
+    assert got == payload[4096 + 123: 4096 + 123 + 5000]
+
+    # a lying survivor that COVERS the range: content flipped, CRC stale
+    # (with the erasures above this is now exactly max loss)
+    f1 = out / f"block_{int(dpos[3]):06d}.dat"
+    good = bytearray(f1.read_bytes())
+    good[10] ^= 0xFF
+    f1.write_bytes(bytes(good))
+    got = rd(3 * 4096 + 5, 100)           # inside lying block 3
+    assert got == payload[3 * 4096 + 5: 3 * 4096 + 105]
+
+    with pytest.raises(AssertionError, match="outside"):
+        rd(len(payload), 1)
+
+
+def test_read_file_unrecoverable_and_striped(tmp_path):
+    """Below k survivors the read refuses; striped reads cross stripe
+    boundaries seamlessly."""
+    src = _make_file(tmp_path, 21 * 4096 + 123, name="big.bin")
+    payload = src.read_bytes()
+    out = tmp_path / "coded"
+    storage.encode_file(src, out, GF32, stripe_blocks=8)
+
+    sb = 8 * 4096
+    got = storage.read_file(out, sb - 2000, 4000)   # stripe 0 -> 1
+    assert got == payload[sb - 2000: sb + 2000]
+
+    # degrade stripe 1 beyond recovery; stripe 0 ranges still serve
+    s1 = out / "stripe_0001"
+    files = sorted(s1.glob("block_*.dat")) + sorted(s1.glob("block_*.par"))
+    for f in files[: len(files) // 2 + 1]:
+        f.unlink()
+    assert storage.read_file(out, 0, 1000) == payload[:1000]
+    with pytest.raises(ValueError, match="unrecoverable"):
+        storage.read_file(out, sb, 4096 + 10)
+
+
+def test_degraded_read_decodes_only_the_window(tmp_path, monkeypatch):
+    """The degraded read's whole point: the decode runs on the touched
+    word-column window (16-word aligned + its bitmap lanes), not the
+    full block width."""
+    src = _make_file(tmp_path, 6 * 4096, name="w.bin")
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    from fastecc_tpu import decode as dec
+    seen = []
+    orig = dec.decode_prepared_jit
+    monkeypatch.setattr(dec, "decode_prepared_jit",
+                        lambda cw, *a, **kw: (seen.append(cw.shape),
+                                              orig(cw, *a, **kw))[1])
+    (out / "block_000002.dat").unlink()   # data block 1 (position 2)
+    got = storage.read_file(out, 4096 + 10, 100)
+    assert got == src.read_bytes()[4096 + 10: 4096 + 110]
+    # bytes [10,110) -> words [2,28) -> groups [0,32) + 2 bitmap lanes
+    assert seen == [(16, 34)]             # [n, window], not [n, 1088]
