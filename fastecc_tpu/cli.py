@@ -715,7 +715,6 @@ def cmd_scaling(args):
         lanes = args.lanes * d                     # weak scaling: grow work
         if args.op == "decode":
             # a real [n, lanes] codeword with the max n-k rows erased
-            from . import rs
             x = rs.encode_jit(jnp.asarray(_rand(field, (k, lanes))),
                               field, 2 * k)
         else:

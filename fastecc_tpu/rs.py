@@ -239,6 +239,8 @@ def update_parity_multi(parity, idxs: tuple, old_blocks, new_blocks,
     _check_kn(k, n)
     assert len(idxs) == old_blocks.shape[0] == new_blocks.shape[0]
     assert all(0 <= i < k for i in idxs)
+    if not idxs:
+        return jnp.asarray(parity)
     delta = gf.sub(field, jnp.asarray(new_blocks), jnp.asarray(old_blocks))
     vs = np.stack([_update_row_consts(field.name, n, k, int(i))
                    for i in idxs])
@@ -258,6 +260,10 @@ def apply_parity_update(parity_rows, vs, delta, field: FieldSpec):
         acc = gf.add(field, acc,
                      mul_prepared(field, delta[j:j + 1], vs[j][:, None]))
     return acc
+
+
+apply_parity_update_jit = jax.jit(apply_parity_update,
+                                  static_argnames=("field",))
 
 
 update_parity_multi_jit = jax.jit(

@@ -1014,10 +1014,10 @@ def _update_stripe(src_dir: pathlib.Path, offset: int, data: bytes,
     old_rows = np.zeros((len(idxs), bb), np.uint8)
     for j, i in enumerate(idxs):
         f = src_dir / f"block_{int(dpos[i]):06d}.dat"
-        if not f.exists():
+        if not f.exists() or f.stat().st_size != bb:
             raise ValueError(
-                f"data block {int(dpos[i])} is missing; repair the "
-                f"directory before updating it")
+                f"data block {int(dpos[i])} is missing or the wrong "
+                f"size; repair the directory before updating it")
         raw = np.frombuffer(f.read_bytes(), np.uint8)
         t = tags.get(str(int(dpos[i])))
         if t is not None and int(host.crc32c_blocks(raw[None])[0]) != t:
@@ -1035,13 +1035,28 @@ def _update_stripe(src_dir: pathlib.Path, offset: int, data: bytes,
     idxs = [idxs[int(c)] for c in changed]
     old_rows, new_rows = old_rows[changed], new_rows[changed]
 
-    # all parity files must be present (checked before any write)
+    # REFUSE-BEFORE-ANY-WRITE: verify every parity file (presence, wire
+    # size, CRC tag) in a cheap read-only pre-pass. Discovering a lying
+    # parity row mid-update would leave the batches already emitted
+    # holding new-data parity over old data files — an inconsistent
+    # directory (found in review; test-pinned). The update pass below
+    # re-reads via the page cache.
     p_files = {int(p): src_dir / f"block_{int(p):06d}.par" for p in ppos}
-    missing = [p for p, f in p_files.items() if not f.exists()]
-    if missing:
-        raise ValueError(
-            f"{len(missing)} parity blocks missing (first: "
-            f"{missing[0]}); repair the directory before updating it")
+    pb = packing.parity_bytes(field, bb)
+    for p, f in p_files.items():
+        if not f.exists() or f.stat().st_size != pb:
+            raise ValueError(
+                f"parity block {p} is missing or the wrong size; repair "
+                f"the directory before updating it")
+    if tags:
+        for p in sorted(p_files):
+            raw = np.frombuffer(p_files[p].read_bytes(), np.uint8)
+            t = tags.get(str(p))
+            if t is not None and int(
+                    host.crc32c_blocks(raw[None])[0]) != t:
+                raise ValueError(
+                    f"parity block {p} fails its CRC tag; repair the "
+                    f"directory before updating it")
 
     import jax.numpy as jnp
 
@@ -1053,8 +1068,7 @@ def _update_stripe(src_dir: pathlib.Path, offset: int, data: bytes,
         oldp = np.asarray(packing.pack_data(jnp.asarray(old_rows), field))
         newp = np.asarray(packing.pack_data(jnp.asarray(new_rows), field))
     from . import gf
-    delta = jax.device_put(gf.sub(field, jnp.asarray(newp),
-                                  jnp.asarray(oldp)))
+    delta = gf.sub(field, jnp.asarray(newp), jnp.asarray(oldp))
     # [s, n-k] response constants; row r of vs columns == parity row r
     # (encode_parity order). O(s * (n-k)) host ints + O(s*(n-k)*lanes)
     # device work: for edits touching more than ~2*log2(k) blocks a full
@@ -1062,18 +1076,18 @@ def _update_stripe(src_dir: pathlib.Path, offset: int, data: bytes,
     vs = np.stack([rs._update_row_consts(field.name, n, k, int(i))
                    for i in idxs])
     row_of = {int(p): r for r, p in enumerate(ppos)}
-    apply_jit = jax.jit(rs.apply_parity_update, static_argnames=("field",))
 
     for grp, packed, ok in _pack_rows_batched(p_files, field, bb,
                                               "parity", tags or None,
                                               batch=batch):
-        if not ok.all():
+        if not ok.all():   # unreachable after the pre-pass; belt+braces
             bad = grp[int(np.flatnonzero(~ok)[0])]
             raise ValueError(
                 f"parity block {bad} fails its CRC tag; repair the "
                 f"directory before updating it")
         rows = [row_of[p] for p in grp]
-        upd = np.asarray(apply_jit(packed, vs[:, rows], delta, field))
+        upd = np.asarray(rs.apply_parity_update_jit(
+            packed, vs[:, rows], delta, field))
         if native:
             blobs = host.serialize_parity(upd, field)
         else:
@@ -1098,6 +1112,22 @@ def _update_stripe(src_dir: pathlib.Path, offset: int, data: bytes,
     return len(idxs)
 
 
+def _stripe_windows(man: dict, offset: int, length: int):
+    """Yield (stripe_dir_name, local_offset, global_start, span) for the
+    stripes a byte range [offset, offset+length) of a striped payload
+    intersects — the shared clipping arithmetic of update_file and
+    read_file."""
+    assert 0 <= offset and 0 <= length and offset + length <= man["size"], (
+        f"byte range [{offset}, {offset + length}) outside the "
+        f"{man['size']}-byte payload")
+    sb = man["stripe_blocks"] * man["block_bytes"]
+    for s, st in enumerate(man["stripes"]):
+        lo, hi = s * sb, s * sb + st["size"]
+        a, b = max(offset, lo), min(offset + length, hi)
+        if a < b:
+            yield st["dir"], a - lo, a, b - a
+
+
 def update_file(src_dir, offset: int, data: bytes,
                 batch: int = 256) -> int:
     """Striping-aware incremental partial write: splice ``data`` at byte
@@ -1113,17 +1143,12 @@ def update_file(src_dir, offset: int, data: bytes,
     data = bytes(data)
     if not is_striped(man):
         return _update_stripe(src_dir, offset, data, batch)
-    assert 0 <= offset and offset + len(data) <= man["size"], (
-        f"byte range [{offset}, {offset + len(data)}) outside the "
-        f"{man['size']}-byte payload")
-    sb = man["stripe_blocks"] * man["block_bytes"]
     total = 0
-    for s, st in enumerate(man["stripes"]):
-        lo, hi = s * sb, s * sb + st["size"]
-        a, b = max(offset, lo), min(offset + len(data), hi)
-        if a < b:
-            total += _update_stripe(src_dir / st["dir"], a - lo,
-                                    data[a - offset: b - offset], batch)
+    for sdir, loff, gstart, span in _stripe_windows(man, offset,
+                                                    len(data)):
+        total += _update_stripe(
+            src_dir / sdir, loff,
+            data[gstart - offset: gstart - offset + span], batch)
     return total
 
 
@@ -1238,7 +1263,7 @@ def _read_stripe(src_dir: pathlib.Path, offset: int, length: int) -> bytes:
     field = FIELDS[man["field"]]
     k, n, bb, size = man["k"], man["n"], man["block_bytes"], man["size"]
     tags = man.get("crc32c") or {}
-    assert 0 <= offset and offset + length <= size, (
+    assert 0 <= offset and 0 <= length and offset + length <= size, (
         f"byte range [{offset}, {offset + length}) outside the "
         f"{size}-byte payload")
     if length == 0:
@@ -1297,16 +1322,9 @@ def read_file(src_dir, offset: int, length: int) -> bytes:
     man = json.loads((src_dir / "manifest.json").read_text())
     if not is_striped(man):
         return _read_stripe(src_dir, offset, length)
-    assert 0 <= offset and offset + length <= man["size"], (
-        f"byte range [{offset}, {offset + length}) outside the "
-        f"{man['size']}-byte payload")
-    sb = man["stripe_blocks"] * man["block_bytes"]
-    parts = []
-    for s, st in enumerate(man["stripes"]):
-        lo, hi = s * sb, s * sb + st["size"]
-        a, b = max(offset, lo), min(offset + length, hi)
-        if a < b:
-            parts.append(_read_stripe(src_dir / st["dir"], a - lo, b - a))
+    parts = [_read_stripe(src_dir / sdir, loff, span)
+             for sdir, loff, _, span in _stripe_windows(man, offset,
+                                                        length)]
     return b"".join(parts)
 
 

@@ -185,3 +185,18 @@ def test_batch_encode_matches_per_stripe(field):
     for i in range(s):
         want = np.asarray(rs.encode_parity_jit(jnp.asarray(data[i]), field))
         np.testing.assert_array_equal(got[i], want)
+
+
+def test_update_parity_multi_empty_is_noop():
+    """An empty index tuple must return the parity unchanged (public
+    API edge; regressed once when the loop became np.stack)."""
+    import jax.numpy as jnp
+
+    from fastecc_tpu import rs
+    from fastecc_tpu.fields import GF32
+
+    data = jnp.asarray(RNG.integers(0, GF32.p, size=(8, 4),
+                                    dtype=np.uint64).astype(np.uint32))
+    parity = rs.encode_parity(data, GF32, 16)
+    out = rs.update_parity_multi(parity, (), data[0:0], data[0:0], GF32, 16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(parity))

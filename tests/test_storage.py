@@ -854,3 +854,33 @@ def test_degraded_read_decodes_only_the_window(tmp_path, monkeypatch):
     assert got == src.read_bytes()[4096 + 10: 4096 + 110]
     # bytes [10,110) -> words [2,28) -> groups [0,32) + 2 bitmap lanes
     assert seen == [(16, 34)]             # [n, window], not [n, 1088]
+
+
+def test_update_file_refuses_before_any_write_late_batch(tmp_path):
+    """The refuse-before-any-write contract must hold even when the
+    lying parity row sorts into a LATE parity batch (k > 256): a
+    mid-stream abort would leave early batches holding new-data parity
+    over old data files (found in review)."""
+    src = _make_file(tmp_path, 512 * 4096, name="big.bin")
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    # forge a parity block in the second 256-row batch: flip a byte,
+    # keep the stale CRC tag
+    par = sorted(out.glob("block_*.par"))[300]
+    blob = bytearray(par.read_bytes())
+    blob[100] ^= 0x5A
+    par.write_bytes(bytes(blob))
+    snapshot = {p.name: p.read_bytes() for p in out.iterdir()}
+
+    with pytest.raises(ValueError, match="CRC"):
+        storage.update_file(out, 4096 * 10 + 3, b"new-bytes")
+    assert snapshot == {p.name: p.read_bytes() for p in out.iterdir()}, \
+        "update modified files before refusing"
+
+
+def test_read_file_rejects_negative_length(tmp_path):
+    src = _make_file(tmp_path, 2 * 4096, name="n.bin")
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    with pytest.raises(AssertionError, match="outside"):
+        storage.read_file(out, 100, -50)
