@@ -1153,7 +1153,8 @@ def update_file(src_dir, offset: int, data: bytes,
 
 
 def _degraded_read_rows(src_dir: pathlib.Path, man: dict, missing: list,
-                        window: tuple, batch: int = 256) -> dict:
+                        window: tuple, batch: int = 256,
+                        cache: dict | None = None) -> dict:
     """Recover the byte rows of ``missing`` data-block indices by an
     erasure decode restricted to the word-column ``window = (c0, c1)``
     (16-word-aligned for GF32, so the slice's escape bitmap is
@@ -1177,11 +1178,20 @@ def _degraded_read_rows(src_dir: pathlib.Path, man: dict, missing: list,
     c0, c1 = window
     dpos = rs.data_positions(n, k)
     dpos_set = set(int(p) for p in dpos)
-    bad = {int(dpos[i]) for i in missing}
-    d_items, p_items = _scan_block_files(src_dir, field, n, dpos_set, bb)
-    for p in bad:
-        d_items.pop(p, None)       # a CRC-failed covering block is not
-        #                            a survivor even though its file is
+    bad = frozenset(int(dpos[i]) for i in missing)
+    # Reader cache: the directory scan is window-independent, and the
+    # erasure tables depend only on (survivor set, bad covering rows) —
+    # both amortize across read() calls.
+    if cache is not None and "scan" in cache:
+        d_all, p_items = cache["scan"]
+    else:
+        d_all, p_items = _scan_block_files(src_dir, field, n, dpos_set,
+                                           bb)
+        if cache is not None:
+            cache["scan"] = (d_all, p_items)
+    d_items = {p: f for p, f in d_all.items() if p not in bad}
+    #           (a CRC-failed covering block is not a survivor even
+    #            though its file is present)
     if len(d_items) + len(p_items) < k:
         raise ValueError(
             f"read window unrecoverable: {len(d_items) + len(p_items)} "
@@ -1237,9 +1247,14 @@ def _degraded_read_rows(src_dir: pathlib.Path, man: dict, missing: list,
             packed[grp] = np.asarray(packing.deserialize_parity(
                 jnp.asarray(blobs), field))
 
-    chosen = set(d_items) | set(p_items)
-    erased = np.array(sorted(set(range(n)) - chosen), np.uint32)
-    tables = dec.prepare_decode_tables(erased, n, field)
+    if cache is not None and ("tables", bad) in cache:
+        tables = cache[("tables", bad)]
+    else:
+        chosen = set(d_items) | set(p_items)
+        erased = np.array(sorted(set(range(n)) - chosen), np.uint32)
+        tables = dec.prepare_decode_tables(erased, n, field)
+        if cache is not None:
+            cache[("tables", bad)] = tables
     rec = np.asarray(dec.decode_prepared_jit(
         jnp.asarray(packed), *tables, field))
     out = {}
@@ -1252,14 +1267,22 @@ def _degraded_read_rows(src_dir: pathlib.Path, man: dict, missing: list,
     return out
 
 
-def _read_stripe(src_dir: pathlib.Path, offset: int, length: int) -> bytes:
+def _read_stripe(src_dir: pathlib.Path, offset: int, length: int,
+                 cache: dict | None = None) -> bytes:
     """Serve bytes [offset, offset+length) of one v1 codeword directory,
     decoding only if a covering block is missing/CRC-lying — and then
-    only the word-column window the range touches (degraded read)."""
+    only the word-column window the range touches (degraded read).
+    ``cache`` (a Reader's per-stripe dict) amortizes the manifest load,
+    directory scan, and erasure tables across calls."""
     from . import host, rs
     from .fields import FIELDS
 
-    man = json.loads((src_dir / "manifest.json").read_text())
+    if cache is not None and "man" in cache:
+        man = cache["man"]
+    else:
+        man = json.loads((src_dir / "manifest.json").read_text())
+        if cache is not None:
+            cache["man"] = man
     field = FIELDS[man["field"]]
     k, n, bb, size = man["k"], man["n"], man["block_bytes"], man["size"]
     tags = man.get("crc32c") or {}
@@ -1293,7 +1316,8 @@ def _read_stripe(src_dir: pathlib.Path, offset: int, length: int) -> bytes:
         c0 = (blo // wb) // group * group
         chi = -(-bhi // wb)                       # ceil to whole words
         c1 = min(words, -(-chi // group) * group)  # ceil to group
-        rows.update(_degraded_read_rows(src_dir, man, missing, (c0, c1)))
+        rows.update(_degraded_read_rows(src_dir, man, missing, (c0, c1),
+                                        cache=cache))
     parts = []
     for i in need:
         a = max(offset, i * bb) - i * bb
@@ -1326,6 +1350,38 @@ def read_file(src_dir, offset: int, length: int) -> bytes:
              for sdir, loff, _, span in _stripe_windows(man, offset,
                                                         length)]
     return b"".join(parts)
+
+
+class Reader:
+    """Amortized ranged reads over one coded directory — the serving
+    shape: many read() calls against the same (possibly degraded)
+    directory. Caches the manifests, each stripe's survivor scan, and
+    the per-erasure-pattern decode tables, so repeated degraded reads
+    pay only the window's column IO plus the window-sized decode
+    (measured: the scan + locator build were ~40% of a one-shot
+    read_file on a k=2^14 directory).
+
+    The directory must not change under an open Reader: after an
+    update/repair/loss event, create a fresh Reader (nothing
+    invalidates automatically — stale caches would serve stale or
+    wrongly-erased rows)."""
+
+    def __init__(self, src_dir):
+        self._dir = pathlib.Path(src_dir)
+        self._man = json.loads((self._dir / "manifest.json").read_text())
+        self._caches: dict = {}
+
+    def read(self, offset: int, length: int) -> bytes:
+        """Bytes [offset, offset+length) — read_file semantics."""
+        if not is_striped(self._man):
+            return _read_stripe(self._dir, offset, length,
+                                self._caches.setdefault(".", {}))
+        parts = [
+            _read_stripe(self._dir / sdir, loff, span,
+                         self._caches.setdefault(sdir, {}))
+            for sdir, loff, _, span in _stripe_windows(self._man, offset,
+                                                       length)]
+        return b"".join(parts)
 
 
 def _streamed_locate(cstage, erased, field, n, k, lanes, cl,

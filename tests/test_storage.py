@@ -884,3 +884,45 @@ def test_read_file_rejects_negative_length(tmp_path):
     assert cli.main(["encode", str(src), "-o", str(out)]) == 0
     with pytest.raises(AssertionError, match="outside"):
         storage.read_file(out, 100, -50)
+
+
+def test_reader_amortizes_and_matches_read_file(tmp_path):
+    """Reader.read == read_file byte-for-byte across healthy and
+    degraded ranges, and the second degraded read skips the directory
+    scan and table build (cache hit, call-count-pinned)."""
+    src = _make_file(tmp_path, 8 * 4096 + 77, name="r.bin")
+    payload = src.read_bytes()
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    (out / "block_000002.dat").unlink()   # data block 1 degraded
+
+    rdr = storage.Reader(out)
+    from fastecc_tpu import decode as dec
+    import fastecc_tpu.storage as st
+
+    calls = {"scan": 0, "tables": 0}
+    orig_scan = st._scan_block_files
+    orig_prep = dec.prepare_decode_tables
+
+    def spy_scan(*a, **kw):
+        calls["scan"] += 1
+        return orig_scan(*a, **kw)
+
+    def spy_prep(*a, **kw):
+        calls["tables"] += 1
+        return orig_prep(*a, **kw)
+
+    st._scan_block_files = spy_scan
+    dec.prepare_decode_tables = spy_prep
+    try:
+        for off, ln in ((4096 + 3, 2000), (4096 + 900, 3000), (0, 64)):
+            want = payload[off: off + ln]
+            assert rdr.read(off, ln) == want
+            assert storage.read_file(out, off, ln) == want
+    finally:
+        st._scan_block_files = orig_scan
+        dec.prepare_decode_tables = orig_prep
+    # two degraded ranges: Reader scans + builds tables ONCE; the two
+    # one-shot read_file calls pay one each
+    assert calls["scan"] == 1 + 2
+    assert calls["tables"] == 1 + 2
