@@ -926,3 +926,62 @@ def test_reader_amortizes_and_matches_read_file(tmp_path):
     # one-shot read_file calls pay one each
     assert calls["scan"] == 1 + 2
     assert calls["tables"] == 1 + 2
+
+
+def test_storage_lifecycle_model_fuzz(tmp_path):
+    """Model-based lifecycle fuzz: a deterministic interleaving of
+    update / ranged read / block loss / repair / recover against a
+    plain bytearray model. Catches interaction bugs between the
+    mutating (update, repair) and serving (read) paths that the
+    per-feature tests cannot see."""
+    rng = np.random.default_rng(0xF022)
+    size = 9 * 4096 + 321
+    model = bytearray(rng.integers(0, 256, size, dtype=np.uint16)
+                      .astype(np.uint8).tobytes())
+    src = tmp_path / "m.bin"
+    src.write_bytes(bytes(model))
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    man = json.loads((out / "manifest.json").read_text())
+    n, k = man["n"], man["k"]
+    lost = 0
+
+    def rand_range():
+        off = int(rng.integers(0, size - 1))
+        ln = int(rng.integers(1, min(size - off, 3 * 4096)))
+        return off, ln
+
+    for step in range(14):
+        op = ["read", "update", "lose", "read", "repair", "read",
+              "update"][step % 7]
+        if op == "read":
+            off, ln = rand_range()
+            assert storage.read_file(out, off, ln) == \
+                bytes(model[off: off + ln]), f"step {step} read"
+        elif op == "update":
+            # update requires a healthy directory; repair if degraded
+            if lost:
+                assert cli.main(["repair", str(out)]) == 0
+                lost = 0
+            off, ln = rand_range()
+            patch = bytes(rng.integers(0, 256, ln, dtype=np.uint16)
+                          .astype(np.uint8))
+            model[off: off + ln] = patch
+            assert storage.update_file(out, off, patch) >= 1
+        elif op == "lose":
+            files = [f for f in sorted(out.glob("block_*.dat")) +
+                     sorted(out.glob("block_*.par")) if f.exists()]
+            budget = (n - k) - lost
+            if budget > 0:
+                ndrop = int(rng.integers(1, budget + 1))
+                for i in rng.choice(len(files), size=ndrop,
+                                    replace=False):
+                    files[i].unlink()
+                lost += ndrop
+        elif op == "repair":
+            assert cli.main(["repair", str(out)]) == 0
+            lost = 0
+    # final full recovery equals the model
+    dst = tmp_path / "m.back"
+    assert cli.main(["recover", str(out), "-o", str(dst)]) == 0
+    assert dst.read_bytes() == bytes(model)
