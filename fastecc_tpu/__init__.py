@@ -10,7 +10,10 @@ Public API:
   ntt.ntt / ntt.intt             — single-chip Stockham NTT (axis 0)
   rs.encode / rs.decode          — Reed-Solomon erasure codec over 4KB blocks
   decode.correct_errors          — unknown-position errors-and-erasures
-  storage                        — out-of-core streaming file codec
+  storage                        — out-of-core streaming file codec, plus
+                                   the serving layer: degraded ranged
+                                   reads (read_file / Reader) and
+                                   incremental partial writes (update_file)
   parallel.mesh / parallel.ntt_dist — multi-chip sharded four-step NTT
 """
 
