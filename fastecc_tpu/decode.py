@@ -35,14 +35,9 @@ import jax.numpy as jnp
 
 from . import gf, packing
 from .fields import FieldSpec, FIELDS
-from .ntt import intt, mul_prepared, ntt, ntt_auto, prepare_consts
+from .ntt import (_log2, intt, mul_prepared, ntt, ntt_auto,
+                  prepare_consts)
 from .rs import data_positions, parity_positions  # noqa: F401 (re-export)
-
-
-def _log2(n: int) -> int:
-    t = n.bit_length() - 1
-    assert 1 << t == n, f"size must be a power of two, got {n}"
-    return t
 
 
 @functools.lru_cache(maxsize=None)
@@ -334,7 +329,6 @@ def prepare_decode_tables(erased_idx, n: int, field: FieldSpec,
     if locator == "device":
         return prepare_decode_tables_device(jnp.asarray(erased, jnp.uint32),
                                             n, field)
-    from .ntt import prepare_consts
     l_eval, lp_inv = locator_host(erased, n, field)
     mask = np.zeros(n, np.uint32)
     mask[erased] = 1
@@ -345,19 +339,20 @@ def prepare_decode_tables(erased_idx, n: int, field: FieldSpec,
 
 def decode_stream(codeword: np.ndarray, erased_idx, field: FieldSpec,
                   chunk_lanes: int = 1024,
-                  out: np.ndarray | None = None) -> np.ndarray:
+                  out: np.ndarray | None = None,
+                  k: int | None = None) -> np.ndarray:
     """Out-of-core decode for codewords larger than HBM.
 
     Mirrors rs.encode_parity_stream: the host [n, L] codeword streams
     through the device in chunk_lanes-wide slices with a depth-2 async
     pipeline. The locator tables are built once (host, native NTT when
     available) and reused across every chunk. Bit-identical to
-    decode_host_prepared.
-    """
-    import jax
-
+    decode_host_prepared. Pass ``k`` to get the same loud
+    over-capacity guard as the in-core paths (e <= n - k; beyond that
+    an erasure decoder returns garbage silently)."""
     n, lanes = codeword.shape
     erased = np.asarray(erased_idx)
+    _check_recoverable(int(erased.size), n, k)
     chunk_lanes = min(chunk_lanes, lanes)
     assert lanes % chunk_lanes == 0, (
         f"chunk_lanes {chunk_lanes} must divide L={lanes}")
@@ -732,6 +727,10 @@ def survivors_to_codeword(survivors: dict, n: int, k: int, field: FieldSpec,
 
     d_items, p_items = [], []
     for pos, blob in survivors.items():
+        if not 0 <= pos < n:
+            # negative keys would WRAP via numpy fancy indexing and
+            # silently overwrite a real survivor row — validate loudly
+            raise ValueError(f"survivor position {pos} outside [0, {n})")
         raw = np.frombuffer(bytes(blob), dtype=np.uint8)
         if pos in dpos:
             assert raw.size == block_bytes, (

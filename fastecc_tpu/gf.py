@@ -215,8 +215,17 @@ def mul_const(field: FieldSpec, a, c: int):
 # ---------------------------------------------------------------------------
 
 def pow_const(field: FieldSpec, a, e: int):
-    """a ** e mod p with a static Python-int exponent (unrolled at trace)."""
-    e %= (field.p - 1) if e >= 0 else (field.p - 1)
+    """a ** e mod p with a static Python-int exponent (unrolled at
+    trace; negative e means inverse powers via Python's nonnegative %).
+
+    Fermat reduction e mod (p-1) is only valid for nonzero bases; a
+    nonzero original exponent that reduces to 0 maps to p-1 instead so
+    that pow_const(field, 0, m*(p-1)) correctly returns 0 (not 0^0=1)
+    while nonzero bases still get their a^(p-1) = 1."""
+    orig_nonzero = e != 0
+    e %= field.p - 1
+    if e == 0 and orig_nonzero:
+        e = field.p - 1
     result = None
     base = a
     while e:

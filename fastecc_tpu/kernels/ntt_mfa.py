@@ -192,7 +192,7 @@ def _col_kernel(tw_ref, w3_ref, seed_ref, t0_ref, x_ref, out_ref, *,
                 field: FieldSpec, c: int, radix: int):
     y = _ntt_stages(x_ref[:], field, tw_ref[:], c,
                     w3_ref[:] if radix == 4 else None)   # [C, TR, TL]
-    _col_epilogue(tw_ref, seed_ref, t0_ref, y, out_ref, field)
+    _col_epilogue(seed_ref, t0_ref, y, out_ref, field)
 
 
 def _col_kernel_pre(tw_ref, w3_ref, seed_ref, t0_ref, pcol_ref, prow_ref,
@@ -204,7 +204,7 @@ def _col_kernel_pre(tw_ref, w3_ref, seed_ref, t0_ref, pcol_ref, prow_ref,
     x = mul_prepared(field, x_ref[:], pre[:, :, None])
     y = _ntt_stages(x, field, tw_ref[:], c,
                     w3_ref[:] if radix == 4 else None)
-    _col_epilogue(tw_ref, seed_ref, t0_ref, y, out_ref, field)
+    _col_epilogue(seed_ref, t0_ref, y, out_ref, field)
 
 
 def _col_kernel_prevec(tw_ref, w3_ref, seed_ref, t0_ref, pvec_ref, x_ref,
@@ -218,10 +218,10 @@ def _col_kernel_prevec(tw_ref, w3_ref, seed_ref, t0_ref, pvec_ref, x_ref,
     x = mul_prepared(field, x_ref[:], pvec_ref[0][:, :, None])
     y = _ntt_stages(x, field, tw_ref[:], c,
                     w3_ref[:] if radix == 4 else None)
-    _col_epilogue(tw_ref, seed_ref, t0_ref, y, out_ref, field)
+    _col_epilogue(seed_ref, t0_ref, y, out_ref, field)
 
 
-def _col_epilogue(tw_ref, seed_ref, t0_ref, y, out_ref, field: FieldSpec):
+def _col_epilogue(seed_ref, t0_ref, y, out_ref, field: FieldSpec):
     """Four-step twiddle multiply (on-chip generated tile) + transpose."""
     # column recurrence from the per-grid-step seed row
     t_col = t0_ref[0]                                    # [C, 1] = T[:, r0]
@@ -491,7 +491,7 @@ def _seam_kernel(tw_r1_ref, w3_r1_ref, tw_c2_ref, w3_c2_ref, seed2_ref,
     y = mul_prepared(field, y, pre[:, :, None])
     y = _ntt_stages(y, field, tw_c2_ref[:], r1,
                     w3_c2_ref[:] if radix == 4 else None)
-    _col_epilogue(tw_c2_ref, seed2_ref, t02_ref, y, out_ref, field)
+    _col_epilogue(seed2_ref, t02_ref, y, out_ref, field)
 
 
 def _seam_kernel_vec(tw_r1_ref, w3_r1_ref, tw_c2_ref, w3_c2_ref, seed2_ref,
@@ -505,7 +505,7 @@ def _seam_kernel_vec(tw_r1_ref, w3_r1_ref, tw_c2_ref, w3_c2_ref, seed2_ref,
     y = mul_prepared(field, y, pvec2_ref[0][:, :, None])
     y = _ntt_stages(y, field, tw_c2_ref[:], r1,
                     w3_c2_ref[:] if radix == 4 else None)
-    _col_epilogue(tw_c2_ref, seed2_ref, t02_ref, y, out_ref, field)
+    _col_epilogue(seed2_ref, t02_ref, y, out_ref, field)
 
 
 def _pair_default_c(n: int) -> int:

@@ -32,8 +32,7 @@ import jax.numpy as jnp
 
 from . import gf, packing
 from .fields import FieldSpec, FIELDS
-from .ntt import (intt, mul_prepared, ntt, ntt_auto, powers_host,
-                  prepare_consts)
+from .ntt import mul_prepared, ntt_auto, powers_host, prepare_consts
 
 
 def _check_kn(k: int, n: int):
@@ -174,6 +173,21 @@ encode_parity_jit = jax.jit(
     encode_parity, static_argnames=("field", "n", "lane_chunks"))
 
 
+@functools.lru_cache(maxsize=8)
+def _update_point_tables(field_name: str, n: int, k: int):
+    """(y, y^k) u64 arrays at the parity positions — identical for every
+    data-block index, so cached per (field, n, k): a first-touch
+    multi-block update pays the two [n] host power-table builds once,
+    not once per touched block."""
+    field = FIELDS[field_name]
+    w_n = field.root_of_order(n)
+    pos = parity_positions(n, k).astype(np.uint64)
+    wn_pows = powers_host(field, w_n, n).astype(np.uint64)
+    wnk_pows = powers_host(field, field.pow_host(w_n, k),
+                           n).astype(np.uint64)
+    return wn_pows[pos], wnk_pows[pos]
+
+
 @functools.lru_cache(maxsize=None)
 def _update_row_consts(field_name: str, n: int, k: int, i: int):
     """Prepared [n-k] vector v with v[r] = L_i(y_r): the parity response
@@ -191,14 +205,8 @@ def _update_row_consts(field_name: str, n: int, k: int, i: int):
 
     field = FIELDS[field_name]
     p = np.uint64(field.p)
-    w_n = field.root_of_order(n)
     x_i = np.uint64(field.pow_host(field.root_of_order(k), i))
-    pos = parity_positions(n, k).astype(np.uint64)
-    wn_pows = powers_host(field, w_n, n).astype(np.uint64)
-    wnk_pows = powers_host(field, field.pow_host(w_n, k),
-                           n).astype(np.uint64)
-    y = wn_pows[pos]                                   # w_n^j
-    yk = wnk_pows[pos]                                 # y^k = w_n^(j*k mod n)
+    y, yk = _update_point_tables(field_name, n, k)     # w_n^j, w_n^(jk)
     num = (yk + p - np.uint64(1)) % p * x_i % p
     den = np.uint64(k % field.p) * ((y + p - x_i) % p) % p
     vals = num * _inv_host_vec(den.astype(np.uint32), field) % p
@@ -256,10 +264,17 @@ def apply_parity_update(parity_rows, vs, delta, field: FieldSpec):
     parity rows through it in batches (storage.update_file)."""
     acc = jnp.asarray(parity_rows)
     vs = jnp.asarray(vs)
-    for j in range(delta.shape[0]):
-        acc = gf.add(field, acc,
-                     mul_prepared(field, delta[j:j + 1], vs[j][:, None]))
-    return acc
+    delta = jnp.asarray(delta)
+
+    def body(j, a):
+        # rolled loop: the traced program stays constant-size in the
+        # update span s (an unrolled form re-emitted s full [B, L]
+        # passes per jit specialization)
+        d = jax.lax.dynamic_index_in_dim(delta, j, 0, keepdims=True)
+        v = jax.lax.dynamic_index_in_dim(vs, j, 0, keepdims=False)
+        return gf.add(field, a, mul_prepared(field, d, v[:, None]))
+
+    return jax.lax.fori_loop(0, delta.shape[0], body, acc)
 
 
 apply_parity_update_jit = jax.jit(apply_parity_update,

@@ -533,7 +533,7 @@ def _decode_staged(staged: _StagedCodeword, max_resident_bytes,
         cl //= 2
     if erased.size:
         dec.decode_stream(cstage, erased, field, chunk_lanes=cl,
-                          out=cstage)
+                          out=cstage, k=k)
     untrusted = set()
     if check:
         def consistent():
@@ -566,7 +566,7 @@ def _decode_staged(staged: _StagedCodeword, max_resident_bytes,
                                                     if erased.size else
                                                     pos.dtype)
             dec.decode_stream(cstage, erased, field, chunk_lanes=cl,
-                              out=cstage)
+                              out=cstage, k=k)
             if not consistent():
                 raise ValueError("post-correction consistency check "
                                  "failed in streamed audit")

@@ -530,3 +530,32 @@ def test_locate_errors_reproducible_entropy():
     b = dec.locate_errors(jnp.asarray(bad), k, GF32, entropy=42)
     np.testing.assert_array_equal(a, [5])
     np.testing.assert_array_equal(a, b)
+
+
+def test_survivors_to_codeword_rejects_out_of_range_positions():
+    """A negative survivor key would WRAP via numpy fancy indexing and
+    silently overwrite a real row (found in review) — must raise."""
+    import pytest
+
+    from fastecc_tpu import decode as dec
+    from fastecc_tpu.fields import GF32
+    from fastecc_tpu import packing
+
+    blob = bytes(packing.parity_bytes(GF32))
+    with pytest.raises(ValueError, match="outside"):
+        dec.survivors_to_codeword({-1: blob}, 8, 4, GF32)
+    with pytest.raises(ValueError, match="outside"):
+        dec.survivors_to_codeword({8: blob}, 8, 4, GF32)
+
+
+def test_decode_stream_guards_over_capacity():
+    """decode_stream(k=...) must refuse e > n-k loudly like the in-core
+    paths (it previously streamed garbage silently)."""
+    import pytest
+
+    from fastecc_tpu import decode as dec
+    from fastecc_tpu.fields import GF32
+
+    cw = np.zeros((8, 4), np.uint32)
+    with pytest.raises(AssertionError, match="recover"):
+        dec.decode_stream(cw, np.arange(5, dtype=np.uint32), GF32, k=4)

@@ -210,3 +210,21 @@ def test_gf16_stage_tables_are_escape_free():
             if a >= 4:
                 for tbl in _r4_twiddles(GF16.name, a, inv):
                     assert not (np.asarray(tbl) == 0x10000).any(), (a, inv)
+
+
+def test_pow_const_zero_base_multiple_of_group_order():
+    """0^(m*(p-1)) must be 0, not 1 (Fermat reduction is only valid for
+    nonzero bases — found in review); nonzero bases still reduce."""
+    import jax.numpy as jnp
+
+    from fastecc_tpu import gf
+    from fastecc_tpu.fields import GF16, GF32
+
+    for field in (GF32, GF16):
+        z = jnp.zeros(3, jnp.uint32)
+        a = jnp.asarray([2, 3, 5], jnp.uint32)
+        for mult in (1, 2):
+            e = mult * (field.p - 1)
+            assert int(gf.pow_const(field, z, e)[0]) == 0
+            assert all(int(v) == 1 for v in gf.pow_const(field, a, e))
+        assert int(gf.pow_const(field, z, 0)[0]) == 1   # 0^0 = 1 pinned
