@@ -20,6 +20,7 @@ import subprocess
 
 import numpy as np
 
+from . import packing
 from .fields import FieldSpec
 
 _REPO = pathlib.Path(__file__).resolve().parent.parent
@@ -29,11 +30,16 @@ _lib = None
 
 def build(quiet: bool = True) -> bool:
     """Compile the native library in-tree. Returns True on success."""
+    global _lib
     try:
         # -B: a stale .so can postdate the sources (e.g. copied in) yet
         # miss newer symbols; unconditional rebuild is cheap and safe
         subprocess.run(["make", "-B", "-C", str(_REPO / "native")],
                        check=True, capture_output=quiet)
+        # drop the cached handle so the rebuilt library is actually
+        # loaded (make writes a new inode, so a fresh CDLL maps the new
+        # code; returning the old handle would defeat the rebuild)
+        _lib = None
         return _load()
     except (subprocess.CalledProcessError, FileNotFoundError):
         return False
@@ -97,13 +103,24 @@ def _suffix(field: FieldSpec) -> str:
     return "gf32" if field.use_mont else "gf16"
 
 
+def _check_width(a: np.ndarray, want: int, what: str):
+    # The C++ kernels hardcode the default 4 KB wire format; any other
+    # width would read out of bounds or silently truncate blocks.
+    # Callers with non-default block sizes must use the jnp paths
+    # (packing.py), as the storage/CLI dispatchers already do.
+    assert a.ndim == 2 and a.shape[1] == want, (
+        f"native {what} is specialized to the default wire format "
+        f"(width {want}); got {a.shape} — use the packing.py path for "
+        f"other block sizes")
+
+
 def pack_data(raw: np.ndarray, field: FieldSpec) -> np.ndarray:
     """[k, 4096] uint8 -> [k, lanes] uint32 (native batch pack)."""
     assert _load(), "native library not built (fastecc_tpu.host.build())"
     raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    _check_width(raw, packing.BLOCK_BYTES, "pack_data")
     k = raw.shape[0]
-    lanes = 1088 if field.use_mont else 2048
-    out = np.empty((k, lanes), dtype=np.uint32)
+    out = np.empty((k, packing.field_lanes(field)), dtype=np.uint32)
     getattr(_lib, f"pack_{_suffix(field)}")(_u8p(raw), k, _u32p(out))
     return out
 
@@ -111,8 +128,9 @@ def pack_data(raw: np.ndarray, field: FieldSpec) -> np.ndarray:
 def unpack_data(fields: np.ndarray, field: FieldSpec) -> np.ndarray:
     assert _load()
     fields = np.ascontiguousarray(fields, dtype=np.uint32)
+    _check_width(fields, packing.field_lanes(field), "unpack_data")
     k = fields.shape[0]
-    out = np.empty((k, 4096), dtype=np.uint8)
+    out = np.empty((k, packing.BLOCK_BYTES), dtype=np.uint8)
     getattr(_lib, f"unpack_{_suffix(field)}")(_u32p(fields), k, _u8p(out))
     return out
 
@@ -120,8 +138,9 @@ def unpack_data(fields: np.ndarray, field: FieldSpec) -> np.ndarray:
 def serialize_parity(fields: np.ndarray, field: FieldSpec) -> np.ndarray:
     assert _load()
     fields = np.ascontiguousarray(fields, dtype=np.uint32)
+    _check_width(fields, packing.field_lanes(field), "serialize_parity")
     m = fields.shape[0]
-    out = np.empty((m, 4352), dtype=np.uint8)
+    out = np.empty((m, packing.parity_bytes(field)), dtype=np.uint8)
     getattr(_lib, f"serialize_parity_{_suffix(field)}")(
         _u32p(fields), m, _u8p(out))
     return out
@@ -130,9 +149,9 @@ def serialize_parity(fields: np.ndarray, field: FieldSpec) -> np.ndarray:
 def deserialize_parity(raw: np.ndarray, field: FieldSpec) -> np.ndarray:
     assert _load()
     raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    _check_width(raw, packing.parity_bytes(field), "deserialize_parity")
     m = raw.shape[0]
-    lanes = 1088 if field.use_mont else 2048
-    out = np.empty((m, lanes), dtype=np.uint32)
+    out = np.empty((m, packing.field_lanes(field)), dtype=np.uint32)
     getattr(_lib, f"deserialize_parity_{_suffix(field)}")(
         _u8p(raw), m, _u32p(out))
     return out

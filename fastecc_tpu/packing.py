@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .fields import FieldSpec, GF16, GF32
+from .fields import FieldSpec
 
 BLOCK_BYTES = 4096  # default wire-format block size
 
@@ -119,7 +119,7 @@ def _unpack_bits(words, group: int, length: int | None = None):
 def pack_data(raw, field: FieldSpec):
     """[k, B] uint8 -> [k, field_lanes(field, B)] uint32 field elements."""
     assert raw.dtype == jnp.uint8
-    if field is GF16 or not field.use_mont:
+    if not field.use_mont:
         return _bytes_to_u32(raw, 2)
     words = _bytes_to_u32(raw, 4)                      # [k, W]
     esc = (words >= _U32(field.p)).astype(jnp.uint32)

@@ -34,8 +34,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import gf
 from ..fields import FieldSpec
-from ..ntt import _four_step_twiddles, _log2, mul_prepared, ntt, ntt_auto
-from ..rs import _check_kn, _coset_twiddles
+from ..ntt import _four_step_twiddles, _log2, mul_prepared, ntt
+from ..rs import _check_kn
 
 
 def _local_ntt(y, field: FieldSpec, inverse: bool, use_pallas: bool):

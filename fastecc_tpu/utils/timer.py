@@ -60,7 +60,9 @@ def fence(out):
     """
     out = jax.block_until_ready(out)
     for leaf in jax.tree_util.tree_leaves(out):
-        if hasattr(leaf, "ndim"):
+        if hasattr(leaf, "ndim") and getattr(leaf, "size", 1):
+            # (zero-size leaves have no element to transfer — and force
+            # nothing anyway)
             idx = (0,) * leaf.ndim
             np.asarray(jax.device_get(leaf[idx] if leaf.ndim else leaf))
     return out

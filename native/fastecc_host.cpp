@@ -20,6 +20,7 @@
 #else
 static inline int omp_get_num_threads() { return 1; }
 static inline int omp_get_thread_num() { return 0; }
+static inline int omp_get_max_threads() { return 1; }
 #endif
 
 static const uint32_t P32 = 0xFFF00001u;
@@ -177,6 +178,31 @@ static inline uint64_t barrett_mul(uint64_t a, uint64_t b, uint64_t p,
 // per row instead of a log-cost pow).
 static void ntt_stage(const uint32_t* src, uint32_t* dst, int64_t half,
                       int64_t dm, uint64_t wa, uint64_t p) {
+  // Few butterfly rows but wide rows (the final stages of one large
+  // transform, or a batched level of small transforms — exactly the
+  // locator product tree's lower levels): the row loop alone would idle
+  // most threads, so parallelize the row-internal element loop instead.
+  if (half < (int64_t)omp_get_max_threads() &&
+      dm >= 2 * (int64_t)omp_get_max_threads()) {
+    uint64_t md = ~0ULL / p;
+    uint64_t tw = 1;
+    for (int64_t i = 0; i < half; ++i) {
+      const uint32_t* lo = src + i * dm;
+      const uint32_t* hi = src + (i + half) * dm;
+      uint32_t* even = dst + (2 * i) * dm;
+      uint32_t* odd = dst + (2 * i + 1) * dm;
+#pragma omp parallel for schedule(static)
+      for (int64_t t = 0; t < dm; ++t) {
+        uint64_t u = lo[t], v = hi[t];
+        uint64_t s = u + v;
+        even[t] = (uint32_t)(s >= p ? s - p : s);
+        uint64_t d = u >= v ? u - v : u + p - v;
+        odd[t] = (uint32_t)barrett_mul(d, tw, p, md);
+      }
+      tw = barrett_mul(tw, wa, p, md);
+    }
+    return;
+  }
 #pragma omp parallel
   {
     int nt = omp_get_num_threads();
@@ -241,32 +267,39 @@ void mulmod_vec(const uint32_t* a, const uint32_t* b, int64_t len,
 }
 
 // CRC32C (Castagnoli), bitwise-sliced software table; used for block
-// integrity tags in the wire manifest.
-static uint32_t crc_table[256];
-static bool crc_init_done = false;
-
-static void crc_init() {
-  for (uint32_t i = 0; i < 256; ++i) {
-    uint32_t c = i;
-    for (int k = 0; k < 8; ++k)
-      c = (c & 1) ? 0x82F63B78u ^ (c >> 1) : (c >> 1);
-    crc_table[i] = c;
+// integrity tags in the wire manifest. The table lives in a C++11 magic
+// static: its one-time build is thread-safe under concurrent first
+// calls (Python threads release the GIL across ctypes calls — a lazy
+// bool flag here was a data race on weakly-ordered hosts).
+struct CrcTable {
+  uint32_t t[256];
+  CrcTable() {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; ++k)
+        c = (c & 1) ? 0x82F63B78u ^ (c >> 1) : (c >> 1);
+      t[i] = c;
+    }
   }
-  crc_init_done = true;
+};
+
+static const uint32_t* crc_table_get() {
+  static const CrcTable table;
+  return table.t;
 }
 
 uint32_t crc32c(const uint8_t* data, int64_t len) {
-  if (!crc_init_done) crc_init();
+  const uint32_t* table = crc_table_get();
   uint32_t c = 0xFFFFFFFFu;
   for (int64_t i = 0; i < len; ++i)
-    c = crc_table[(c ^ data[i]) & 0xFF] ^ (c >> 8);
+    c = table[(c ^ data[i]) & 0xFF] ^ (c >> 8);
   return c ^ 0xFFFFFFFFu;
 }
 
 // Batched block checksums: tags[i] = crc32c(blocks[i]).
 void crc32c_blocks(const uint8_t* data, int64_t nblocks, int64_t block_bytes,
                    uint32_t* tags) {
-  if (!crc_init_done) crc_init();
+  crc_table_get();
 #pragma omp parallel for
   for (int64_t b = 0; b < nblocks; ++b)
     tags[b] = crc32c(data + b * block_bytes, block_bytes);

@@ -129,3 +129,36 @@ def test_crc32c_numpy_fallback_matches_native():
                                   host.crc32c_blocks(blocks))
     for row in blocks:
         assert host.crc32c_np(row.tobytes()) == host.crc32c(row.tobytes())
+
+
+def test_native_wrappers_reject_nondefault_widths():
+    """The C++ kernels hardcode the 4 KB wire format; any other width
+    must refuse loudly instead of reading out of bounds or silently
+    truncating (found in review)."""
+    import pytest
+
+    from fastecc_tpu import host
+    from fastecc_tpu.fields import GF16, GF32
+
+    if not host.available() and not host.build():
+        pytest.skip("native toolchain unavailable")
+    for field in (GF32, GF16):
+        with pytest.raises(AssertionError, match="wire format"):
+            host.pack_data(np.zeros((2, 2048), np.uint8), field)
+        with pytest.raises(AssertionError, match="wire format"):
+            host.unpack_data(np.zeros((2, 64), np.uint32), field)
+        with pytest.raises(AssertionError, match="wire format"):
+            host.serialize_parity(np.zeros((2, 64), np.uint32), field)
+        with pytest.raises(AssertionError, match="wire format"):
+            host.deserialize_parity(np.zeros((2, 64), np.uint8), field)
+
+
+def test_fence_handles_empty_leaves():
+    """time_fn/fence over a pytree containing a zero-size array must not
+    crash (found in review)."""
+    import jax.numpy as jnp
+
+    from fastecc_tpu.utils.timer import fence
+
+    out = fence((jnp.zeros((0, 4), jnp.uint32), jnp.ones((2,), jnp.uint32)))
+    assert out[0].shape == (0, 4)
