@@ -510,7 +510,7 @@ def cmd_repair(args):
     import jax.numpy as jnp
 
     from . import decode as dec
-    from . import host, packing, rs
+    from . import host, rs
     src = pathlib.Path(args.dir)
     man = json.loads((src / "manifest.json").read_text())
     from . import storage
@@ -569,28 +569,30 @@ def cmd_repair(args):
             print(f"located {len(located_set)} silently corrupted "
                   f"survivors algebraically: {sorted(located_set)}")
         full = np.asarray(dec_full)[:, :real]
+    # Batched emission (one unpack/serialize + one CRC call per 256
+    # rows — a per-block loop paid one device dispatch per block, the
+    # exact cost the streamed path batches away). Every branch above
+    # ends in an algebraically VERIFIED codeword (verify_codeword or
+    # correct_errors' internal audit), so a stored tag disagreeing with
+    # a reconstruction is stale or forged — e.g. a crash between a block
+    # write and its manifest write — and is re-tagged rather than
+    # dead-ending the repair.
+    from .storage import _rows_to_blobs
     retagged = []
-    for pos in missing:
-        row = jnp.asarray(full[pos:pos + 1])
-        if pos in dpos:
-            blob = np.asarray(packing.unpack_data(row, field))[0].tobytes()
-            path = src / f"block_{pos:06d}.dat"
-        else:
-            blob = np.asarray(
-                packing.serialize_parity(row, field))[0].tobytes()
-            path = src / f"block_{pos:06d}.par"
-        if str(pos) in tags:
-            crc = host.crc32c(blob)
-            if pos not in located_set:
-                assert crc == tags[str(pos)], (
-                    f"repaired block {pos} fails its manifest CRC")
-            elif crc != tags[str(pos)]:
-                # located-corruption repair: the stored tag is untrusted
-                # for these rows (the corruption evidently defeated or
-                # forged it) — re-tag from the verified reconstruction
-                tags[str(pos)] = crc
-                retagged.append(pos)
-        path.write_bytes(blob)
+    for kind, suffix, poss in (
+            ("data", "dat", [p for p in missing if p in dpos]),
+            ("parity", "par", [p for p in missing if p not in dpos])):
+        for s in range(0, len(poss), 256):
+            grp = poss[s: s + 256]
+            blobs = _rows_to_blobs(full[grp], field, bb, kind)
+            crcs = host.crc32c_blocks(blobs) if tags else None
+            for j, pos in enumerate(grp):
+                if tags and str(pos) in tags and \
+                        int(crcs[j]) != tags[str(pos)]:
+                    tags[str(pos)] = int(crcs[j])
+                    retagged.append(pos)
+                (src / f"block_{pos:06d}.{suffix}").write_bytes(
+                    blobs[j].tobytes())
     if retagged:
         man["crc32c"] = tags
         (src / "manifest.json").write_text(json.dumps(man))

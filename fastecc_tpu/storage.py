@@ -142,21 +142,29 @@ def _scan_block_files(src_dir, field: FieldSpec, n: int, dpos, bb: int,
     d_items, p_items = {}, {}
     src_dir = pathlib.Path(src_dir)
     pbytes = packing.parity_bytes(field, bb)
-    for nm, got in sorted(dat) + sorted(par):
-        try:
-            pos = int(nm[:-4].split("_")[1])
-        except (IndexError, ValueError):
+    for (nm, got), is_dat in [(t, True) for t in sorted(dat)] + \
+            [(t, False) for t in sorted(par)]:
+        stem = nm[6:-4]                    # block_NNNNNN.{dat,par}
+        if not stem.isdigit():             # rejects block_0001_backup.dat
             continue
+        pos = int(stem)
         if not 0 <= pos < n:
             if flagged is not None:
                 flagged.append((pos, "position out of range"))
             continue
-        want = bb if pos in dpos else pbytes
+        if (pos in dpos) != is_dat:
+            # a .par file at a data position (or vice versa) must never
+            # shadow the real block — sorted(dat)+sorted(par) would let
+            # the wrong-kind entry overwrite the right one
+            if flagged is not None:
+                flagged.append((pos, "kind/suffix mismatch"))
+            continue
+        want = bb if is_dat else pbytes
         if got != want:
             if flagged is not None:
                 flagged.append((pos, f"bad size {got} != {want}"))
             continue
-        (d_items if pos in dpos else p_items)[pos] = src_dir / nm
+        (d_items if is_dat else p_items)[pos] = src_dir / nm
     return d_items, p_items
 
 
@@ -417,19 +425,23 @@ class _StagedCodeword(_StageCtx):
 
 def _stage_codeword(src_dir, _require_recoverable: bool = True,
                     flagged: list | None = None,
-                    stage_name: str = ".codeword.stage"
-                    ) -> _StagedCodeword:
+                    stage_name: str = ".codeword.stage",
+                    man: dict | None = None) -> _StagedCodeword:
     """Scan, CRC-verify, and pack one coded directory's survivors into
     its staging memmap (every survivor file read ONCE: the candidate
     scan is by stat only, CRC rides the staging read). ``flagged``
     (check's audit mode) records anomalies as (pos, reason) — bad names/
     sizes from the scan, plus CRC mismatches from the staging read —
     and disables the >= k recoverability asserts (an audit reports an
-    unrecoverable directory, it does not raise on it)."""
+    unrecoverable directory, it does not raise on it). ``man`` supplies
+    the manifest when the directory's own is lost (the striped callers
+    can synthesize one from the v2 top-level manifest — losing a stripe
+    manifest must not make a fully-recoverable stripe unreadable)."""
     from . import host, rs
 
     src_dir = pathlib.Path(src_dir)
-    man = json.loads((src_dir / "manifest.json").read_text())
+    if man is None:
+        man = json.loads((src_dir / "manifest.json").read_text())
     from .fields import FIELDS
     field = FIELDS[man["field"].upper()]
     n, k = man["n"], man["k"]
@@ -605,6 +617,19 @@ def _emit_recovered(staged: _StagedCodeword, erased, untrusted, out_path,
     batch = 256
     if repair:
         retagged = []
+        audited = None   # lazily: chunked verify_codeword of cstage
+
+        def _consistent():
+            import jax.numpy as jnp
+            lanes = cstage.shape[1]
+            cl = min(1024, lanes)
+            for off in range(0, lanes, cl):
+                chunk = jnp.asarray(np.ascontiguousarray(
+                    cstage[:, off: off + cl]))
+                if not bool(rs.verify_codeword_jit(chunk, field, k)):
+                    return False
+            return True
+
         er_d = [int(p) for p in erased if int(p) in dpos]
         er_p = [int(p) for p in erased if int(p) not in dpos]
         for kind, suffix, poss in (("data", "dat", er_d),
@@ -615,15 +640,27 @@ def _emit_recovered(staged: _StagedCodeword, erased, untrusted, out_path,
                                        bb, kind)
                 crcs = host.crc32c_blocks(blobs) if tags else None
                 for j, pos in enumerate(grp):
-                    if tags and str(pos) in tags:
-                        crc = int(crcs[j])
-                        if pos not in untrusted:
-                            assert crc == tags[str(pos)], (
+                    if tags and str(pos) in tags and \
+                            int(crcs[j]) != tags[str(pos)]:
+                        # A verified reconstruction outranks the stored
+                        # tag (stale after a crash between a block write
+                        # and its manifest write, or forged): re-tag
+                        # instead of dead-ending the repair. When this
+                        # run did NOT already audit (check=False) and
+                        # the row was trusted, verify the codeword once
+                        # before trusting the reconstruction over the
+                        # tag.
+                        if pos not in untrusted and audited is None:
+                            audited = _consistent()
+                        if pos not in untrusted and not audited:
+                            raise ValueError(
                                 f"repaired block {pos} fails its "
-                                f"manifest CRC")
-                        elif crc != tags[str(pos)]:
-                            tags[str(pos)] = crc
-                            retagged.append(pos)
+                                f"manifest CRC and the codeword is "
+                                f"inconsistent — a survivor is lying; "
+                                f"rerun repair with check=True "
+                                f"(cli repair does) to locate it")
+                        tags[str(pos)] = int(crcs[j])
+                        retagged.append(pos)
                     (src_dir / f"block_{pos:06d}.{suffix}").write_bytes(
                         blobs[j].tobytes())
         if retagged:
@@ -854,11 +891,29 @@ def recover_file(src_dir, out_path, max_resident_bytes: int =
         finally:
             stg.close()
 
+    def stage(i):
+        st = stripes[i]
+        d = src_dir / st["dir"]
+        if (d / "manifest.json").exists():
+            return _stage_codeword(d)
+        if not d.is_dir():
+            raise ValueError(
+                f"stripe {st['dir']} is missing entirely; its "
+                f"k={st['k']} data blocks are unrecoverable")
+        # a lost stripe manifest must not make a recoverable stripe
+        # unreadable: synthesize it from the v2 top-level manifest
+        # (only the CRC table died with it)
+        sman = _stripe_manifest(man, st)
+        progress(f"{st['dir']}: manifest missing; proceeding from the "
+                 f"top-level manifest (no CRC verification)")
+        if repair:
+            (d / "manifest.json").write_text(json.dumps(sman))
+        return _stage_codeword(d, man=sman)
+
     try:
         with ThreadPoolExecutor(1, "fastecc-stage") as stage_pool, \
                 ThreadPoolExecutor(1, "fastecc-emit") as emit_pool:
-            nxt = stage_pool.submit(_stage_codeword,
-                                    src_dir / stripes[0]["dir"])
+            nxt = stage_pool.submit(stage, 0)
             emitting = None   # at most one emission in flight: bounds
             #                   live staging files and keeps file order
             try:
@@ -866,9 +921,7 @@ def recover_file(src_dir, out_path, max_resident_bytes: int =
                     staged = nxt.result()
                     nxt = None
                     if i + 1 < len(stripes):
-                        nxt = stage_pool.submit(
-                            _stage_codeword,
-                            src_dir / stripes[i + 1]["dir"])
+                        nxt = stage_pool.submit(stage, i + 1)
                     progress(("repairing " if repair else "recovering ")
                              + st["dir"])
                     try:
@@ -923,11 +976,20 @@ def check_file(src_dir, max_resident_bytes: int =
         return check_file_stream(src_dir, max_resident_bytes, chunk_lanes)
     from concurrent.futures import ThreadPoolExecutor
 
-    def stage(d):
+    def stage(st):
+        d = src_dir / st["dir"]
         flagged = []
+        sman = None
+        if not (d / "manifest.json").exists() and d.is_dir():
+            # audit the blocks against a manifest synthesized from the
+            # top level (read-only: check never writes); the loss itself
+            # is reported below
+            sman = _stripe_manifest(man, st)
+            flagged.append(("manifest.json", "missing"))
         return _stage_codeword(d, _require_recoverable=False,
                                flagged=flagged,
-                               stage_name=".check.stage"), flagged
+                               stage_name=".check.stage",
+                               man=sman), flagged
 
     stripes = man["stripes"]
     sub = []
@@ -936,16 +998,29 @@ def check_file(src_dir, max_resident_bytes: int =
     # staging (reads + CRC + pack) overlaps stripe s's device-bound
     # codeword verification
     with ThreadPoolExecutor(1, "fastecc-stage") as pool:
-        nxt = pool.submit(stage, src_dir / stripes[0]["dir"])
+        nxt = pool.submit(stage, stripes[0])
         try:
             for i, st in enumerate(stripes):
-                staged, flagged = nxt.result()
+                try:
+                    staged, flagged = nxt.result()
+                except Exception as e:  # noqa: BLE001 - a lost stripe
+                    #   dir (or an unreadable manifest) is an AUDIT
+                    #   VERDICT, not a crash: scripts consume rc 0-3
+                    staged = None
+                    err = f"{type(e).__name__}: {e}"
                 nxt = None
                 if i + 1 < len(stripes):
-                    nxt = pool.submit(stage,
-                                      src_dir / stripes[i + 1]["dir"])
-                rep, rc = _finish_check(staged, flagged,
-                                        max_resident_bytes, chunk_lanes)
+                    nxt = pool.submit(stage, stripes[i + 1])
+                if staged is None:
+                    rep, rc = {"n": st["n"], "k": st["k"], "present": 0,
+                               "missing_or_corrupt": None,
+                               "recoverable": False,
+                               "status": "unrecoverable",
+                               "error": err}, 2
+                else:
+                    rep, rc = _finish_check(staged, flagged,
+                                            max_resident_bytes,
+                                            chunk_lanes)
                 rep["stripe"] = st["dir"]
                 sub.append(rep)
                 worst = max(worst, rc)
@@ -989,8 +1064,6 @@ def _update_stripe(src_dir: pathlib.Path, offset: int, data: bytes,
     CRC-clean — an update through missing/lying rows would bake the
     inconsistency into the new parity; run repair first. Returns the
     number of data blocks that actually changed."""
-    import jax
-
     from . import host, rs
     from .fields import FIELDS
 
@@ -1126,6 +1199,17 @@ def _stripe_windows(man: dict, offset: int, length: int):
         a, b = max(offset, lo), min(offset + length, hi)
         if a < b:
             yield st["dir"], a - lo, a, b - a
+
+
+def _stripe_manifest(top: dict, st: dict) -> dict:
+    """Synthesize a stripe's v1 manifest from the v2 top-level manifest
+    (used when the stripe's own manifest.json is lost: every field
+    recover/audit needs is duplicated at the top; only the CRC table is
+    gone for good)."""
+    return {"file": top["file"], "size": st["size"], "k": st["k"],
+            "n": st["n"], "field": top["field"],
+            "format": "fastecc-tpu-v1",
+            "block_bytes": top["block_bytes"], "crc32c": None}
 
 
 def update_file(src_dir, offset: int, data: bytes,

@@ -64,6 +64,10 @@ def adversarial_suite(n: int, k: int, seed: int = 0):
         ("burst_max", burst_erasures(n, e, seed=seed)),
         ("all_data", all_data_erasures(n, k)),
         ("all_parity", all_parity_erasures(n, k)),
-        ("stride", stride_erasures(n, min(e, n // 2), 2)),
+        # stride 3: for the standard rate-1/2 shape (n = 2k) a stride of
+        # 2 is exactly data_positions (offset 0) or parity_positions
+        # (offset 1) — duplicates of the entries above, not a distinct
+        # regime. Stride 3 hits both kinds in a structured pattern.
+        ("stride", stride_erasures(n, min(e, max(1, n // 3)), 3)),
         ("single", random_erasures(n, 1, seed)),
     ]

@@ -559,3 +559,17 @@ def test_decode_stream_guards_over_capacity():
     cw = np.zeros((8, 4), np.uint32)
     with pytest.raises(AssertionError, match="recover"):
         dec.decode_stream(cw, np.arange(5, dtype=np.uint32), GF32, k=4)
+
+
+def test_adversarial_suite_patterns_are_distinct():
+    """Every named pattern in the fault-injection suite must be a
+    DISTINCT erasure set (found in review: 'stride' duplicated
+    'all_data' for every rate-1/2 shape)."""
+    from fastecc_tpu.testing import adversarial_suite
+
+    suite = adversarial_suite(16, 8)
+    seen = {}
+    for name, pos in suite:
+        key = tuple(int(x) for x in pos)
+        assert key not in seen, f"{name} duplicates {seen[key]}"
+        seen[key] = name

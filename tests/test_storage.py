@@ -985,3 +985,80 @@ def test_storage_lifecycle_model_fuzz(tmp_path):
     dst = tmp_path / "m.back"
     assert cli.main(["recover", str(out), "-o", str(dst)]) == 0
     assert dst.read_bytes() == bytes(model)
+
+
+def test_repair_retags_stale_manifest_crc(tmp_path):
+    """A stale/forged CRC tag on a healthy block (e.g. a crash between a
+    block write and its manifest write) must not dead-end repair: the
+    verified reconstruction outranks the tag and is re-tagged (found in
+    review — this previously raised AssertionError forever)."""
+    src = _make_file(tmp_path, 4 * 4096, name="s.bin")
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    man = json.loads((out / "manifest.json").read_text())
+    pos = sorted(int(p) for p in man["crc32c"])[1]
+    man["crc32c"][str(pos)] ^= 0xFFFF        # stale tag, healthy block
+    (out / "manifest.json").write_text(json.dumps(man))
+
+    assert cli.main(["check", str(out)]) == 1      # degraded (CRC fail)
+    assert cli.main(["repair", str(out)]) == 0     # re-tags, not crash
+    assert cli.main(["check", str(out)]) == 0      # healthy again
+
+    # streamed twin, check=False: the lazy consistency audit authorizes
+    # the re-tag
+    man = json.loads((out / "manifest.json").read_text())
+    man["crc32c"][str(pos)] ^= 0xFFFF
+    (out / "manifest.json").write_text(json.dumps(man))
+    storage.recover_file_stream(out, None, repair=True, check=False)
+    assert cli.main(["check", str(out)]) == 0
+
+
+def test_striped_audit_and_recover_survive_stripe_manifest_loss(tmp_path):
+    """Losing a stripe's manifest.json (or a whole stripe dir) must not
+    crash the audit, and a manifest-only loss stays fully recoverable
+    via the top-level manifest (found in review — both previously
+    raised FileNotFoundError)."""
+    src = _make_file(tmp_path, 21 * 4096 + 9, name="sm.bin")
+    out = tmp_path / "coded"
+    storage.encode_file(src, out, GF32, stripe_blocks=8)
+
+    (out / "stripe_0001" / "manifest.json").unlink()
+    rep, rc = storage.check_file(out)
+    assert rc <= 1                                  # audited, not crashed
+    dst = tmp_path / "sm.back"
+    storage.recover_file(out, dst)
+    assert dst.read_bytes() == src.read_bytes()
+    # repair restores the stripe manifest (without a CRC table)
+    storage.recover_file(out, None, repair=True)
+    sman = json.loads((out / "stripe_0001" / "manifest.json").read_text())
+    assert (sman["k"], sman["format"]) == (8, "fastecc-tpu-v1")
+
+    # a whole stripe directory lost: audit reports rc 2, recover raises
+    # a clean ValueError (not FileNotFoundError)
+    import shutil
+    shutil.rmtree(out / "stripe_0002")
+    rep, rc = storage.check_file(out)
+    assert rc == 2 and rep["status"] == "unrecoverable"
+    with pytest.raises(ValueError, match="missing entirely"):
+        storage.recover_file(out, tmp_path / "x.bin")
+
+
+def test_scan_rejects_kind_suffix_mismatch(tmp_path):
+    """A stray wrong-suffix file at a block's position must never shadow
+    the real survivor (found in review: a data-sized .par at a data
+    position fed wrong bytes into degraded reads)."""
+    src = _make_file(tmp_path, 4 * 4096, name="k.bin")
+    payload = src.read_bytes()
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    man = json.loads((out / "manifest.json").read_text())
+    # pos 2 is a data position (n=2k layout); plant a data-SIZED .par
+    (out / "block_000002.par").write_bytes(b"\x5A" * man["block_bytes"])
+    (out / "block_0001_backup.dat").write_bytes(
+        b"\x5A" * man["block_bytes"])   # malformed name: ignored
+    (out / "block_000000.dat").unlink()
+    got = storage.read_file(out, 0, 5000)          # degraded, spans 0-1
+    assert got == payload[:5000]
+    dst = tmp_path / "k.back"
+    storage.recover_file_stream(out, dst)
+    assert dst.read_bytes() == payload
