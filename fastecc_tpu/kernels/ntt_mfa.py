@@ -509,11 +509,20 @@ def _seam_kernel_vec(tw_r1_ref, w3_r1_ref, tw_c2_ref, w3_c2_ref, seed2_ref,
 
 
 def _pair_default_c(n: int) -> int:
-    """Balanced split for the fused pair: both transforms run one deep
-    and one shallow pass either way around (A1/B2 get c1, B1/A2 get r1),
-    so the asymmetric single-transform heuristic has nothing to bias."""
+    """Measured-best split for the fused pair. Small orders (<= 2^16)
+    take the balanced split: both transforms run one deep and one
+    shallow pass either way around (A1/B2 get c1, B1/A2 get r1), so the
+    asymmetric single-transform heuristic has nothing to bias. Large
+    orders want a SHALLOW c1 (deep r1): the seam pass runs r1-point
+    stages twice per residency, and feeding it a deeper transform
+    amortizes its fixed per-tile cost over more fused stages — the
+    round-3 on-chip sweep at n=2^19 measured c1=512 at 0.175 s vs the
+    balanced 1024 at 0.210 s and the staged transforms at 0.184 s
+    (tools/onchip_r3.log), flipping the pair from a 12% regression to a
+    5% win at the headline order."""
     t = _log2(n)
-    return max(_TR, min(1 << ((t + 1) // 2), 1 << 11))
+    half = (t + 1) // 2 if t <= 16 else (t - 1) // 2
+    return max(_TR, min(1 << half, 1 << 11))
 
 
 # Dispatch switch for the seam-fused pair fast path (rs.encode_parity /
