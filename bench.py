@@ -17,6 +17,7 @@ JSON so a fallback is never mistaken for the full config).
 import argparse
 import gc
 import json
+import os
 import sys
 
 import jax
@@ -29,24 +30,45 @@ from fastecc_tpu.utils import time_fn
 REFERENCE_GBPS = 1.2  # reference CPU headline (BASELINE.md, i7-4770 AVX2+OpenMP)
 
 
-def _probe_backend(timeout_s: float = 180.0) -> bool:
+def _probe_backend(timeout_s: float = 180.0, attempts: int | None = None,
+                   retry_delay_s: float | None = None) -> bool:
     """Pre-flight the default backend in a SUBPROCESS with a timeout.
 
     The tunneled TPU plugin hangs indefinitely inside backend init or the
     first dispatch when its remote peer is down — unrecoverable in-process
     (the hang is in C++). A child process pays the same ~20-40 s first
     compile but can be killed, turning "bench hangs forever" into "bench
-    degrades to a small CPU run with the degradation reported"."""
+    degrades to a small CPU run with the degradation reported".
+
+    Tunnel outages observed on this box are often TRANSIENT (a probe that
+    hung at one minute succeeded five minutes later), so a single failed
+    attempt retries after a delay before declaring the backend down —
+    otherwise one blip at bench time records a degraded CPU line for a
+    perfectly healthy chip. FASTECC_PROBE_ATTEMPTS / FASTECC_PROBE_DELAY_S
+    override the 3-attempt / 45 s defaults (set attempts=1 to restore the
+    single-shot behavior)."""
     import subprocess
+    import time as _time
+    if attempts is None:
+        attempts = int(os.environ.get("FASTECC_PROBE_ATTEMPTS", "3"))
+    if retry_delay_s is None:
+        retry_delay_s = float(os.environ.get("FASTECC_PROBE_DELAY_S", "45"))
     code = ("import jax, jax.numpy as jnp;"
             "r = jax.jit(lambda v: (v * 2).sum())(jnp.arange(8.0));"
             "assert float(r) == 56.0")
-    try:
-        return subprocess.run([sys.executable, "-c", code],
+    for attempt in range(max(1, attempts)):
+        if attempt:
+            print(f"# backend probe attempt {attempt} failed; retrying in "
+                  f"{retry_delay_s:.0f}s", file=sys.stderr)
+            _time.sleep(retry_delay_s)
+        try:
+            if subprocess.run([sys.executable, "-c", code],
                               timeout=timeout_s,
-                              capture_output=True).returncode == 0
-    except (subprocess.TimeoutExpired, OSError):
-        return False
+                              capture_output=True).returncode == 0:
+                return True
+        except (subprocess.TimeoutExpired, OSError):
+            pass
+    return False
 
 
 def make_data(k: int, lanes: int):
