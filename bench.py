@@ -7,8 +7,10 @@ baseline config: 2^20 source+parity blocks of 4KB over GF(0xFFF00001)
 
 Throughput definition (pinned): total codeword bytes (n * 4096) divided by
 the wall time of one jitted encode step (iNTT_k + coset twiddle + NTT_k,
-the fast path), best of `--iters` post-compilation runs. `vs_baseline`
-compares against the reference's ~1.2 GB/s CPU headline (BASELINE.md).
+the fast path), MEDIAN of `--samples` post-compilation runs; every sample
+plus min/max spread ships in the JSON (`config.stats`) so a single noisy
+run can never masquerade as the steady state. `vs_baseline` compares
+against the reference's ~1.2 GB/s CPU headline (BASELINE.md).
 
 Prints ONE JSON line. Falls back to smaller k on OOM (reported in the
 JSON so a fallback is never mistaken for the full config).
@@ -26,8 +28,20 @@ import jax.numpy as jnp
 from fastecc_tpu import rs
 from fastecc_tpu.fields import GF32
 from fastecc_tpu.utils import time_fn
+from fastecc_tpu.utils.timer import median, time_samples
 
 REFERENCE_GBPS = 1.2  # reference CPU headline (BASELINE.md, i7-4770 AVX2+OpenMP)
+
+
+def _stats(samples, nd: int = 4):
+    """median/min/max/n for a sample list (every headline number is a
+    median-with-spread, not a best-of: round-3 verdict weak-point 2 —
+    same-commit chip runs swung up to 50% on the tunneled v5e)."""
+    return {"median": round(median(samples), nd),
+            "min": round(min(samples), nd),
+            "max": round(max(samples), nd),
+            "n": len(samples),
+            "samples": [round(s, nd) for s in samples]}
 
 
 def _probe_backend(timeout_s: float = 180.0, attempts: int | None = None,
@@ -78,27 +92,27 @@ def make_data(k: int, lanes: int):
 
 
 def run(lg_k: int, lanes: int, iters: int, lane_chunks: int):
-    """Returns (single-call secs, marginal secs, bytes, k, n).
+    """Returns (call samples, chain samples | None, bytes, k, n).
 
     The single-call wall time includes the ~40-55 ms fixed dispatch cost
     of this environment's tunneled chip (the pinned headline
     definition); the marginal time (two encodes chained in one jit,
-    differenced) is the true steady-state device cost a pipeline of
-    stripes would see."""
+    differenced from the medians of both sample sets) is the true
+    steady-state device cost a pipeline of stripes would see."""
     k, n = 1 << lg_k, 1 << (lg_k + 1)
     data = jax.block_until_ready(make_data(k, lanes))
     fn = jax.jit(lambda x: rs.encode_parity(x, GF32, n,
                                             lane_chunks=lane_chunks))
-    secs = time_fn(fn, data, iters=iters)
+    s1 = time_samples(fn, data, iters=iters)
     try:
         fn2 = jax.jit(lambda x: rs.encode_parity(
             rs.encode_parity(x, GF32, n, lane_chunks=lane_chunks),
             GF32, n, lane_chunks=lane_chunks))
-        marginal = _sane_marginal(time_fn(fn2, data, iters=iters), secs)
+        s2 = time_samples(fn2, data, iters=iters)
     except Exception:  # noqa: BLE001 - marginal is best-effort (memory)
-        marginal = None
+        s2 = None
     total_bytes = n * lanes * 4
-    return secs, marginal, total_bytes, k, n
+    return s1, s2, total_bytes, k, n
 
 
 _DISPATCH_SECS = None
@@ -136,6 +150,21 @@ def _sane_marginal(t2: float, t1: float):
     return m if m > _dispatch_overhead() / 4 else None
 
 
+def _marginal_from_samples(s2, s1):
+    """(marginal, spread) from chain/single sample sets: the marginal is
+    the difference of MEDIANS (each sample set is noisy; differencing two
+    single samples compounds the jitter), gated by _sane_marginal. The
+    spread is the conservative envelope [min(s2)-max(s1), max(s2)-min(s1)]
+    — the worst pairings the samples admit — so a reader sees how much
+    run-to-run noise the median difference is riding on."""
+    if not s2:
+        return None, None
+    m = _sane_marginal(median(s2), median(s1))
+    if m is None:
+        return None, None
+    return m, (round(min(s2) - max(s1), 4), round(max(s2) - min(s1), 4))
+
+
 def run_decode_metric(iters: int):
     """Secondary: erasure-decode GB/s at n=2^20, e=2^19 erased, 512 lanes.
 
@@ -157,7 +186,7 @@ def run_decode_metric(iters: int):
     rng = np.random.default_rng(1)
     erased = jnp.asarray(
         np.sort(rng.choice(n, size=e, replace=False)).astype(np.uint32))
-    loc_secs = time_fn(
+    loc_samples = time_samples(
         lambda idx: dec.prepare_decode_tables_device(idx, n, GF32),
         erased, iters=max(2, iters))
     targs = tuple(jax.block_until_ready(a)
@@ -165,13 +194,12 @@ def run_decode_metric(iters: int):
     f1 = jax.jit(lambda c: dec.decode_prepared(c, *targs, GF32))
     f2 = jax.jit(lambda c: dec.decode_prepared(
         dec.decode_prepared(c, *targs, GF32), *targs, GF32))
-    t1 = time_fn(f1, cw, iters=iters)
-    t2 = time_fn(f2, cw, iters=iters)
-    marginal = _sane_marginal(t2, t1)
+    s1 = time_samples(f1, cw, iters=iters)
+    s2 = time_samples(f2, cw, iters=iters)
+    marginal, spread = _marginal_from_samples(s2, s1)
     del cw, targs
-    if marginal is None:
-        return t1, None, None, loc_secs
-    return t1, marginal, n * lanes * 4 / marginal / 1e9, loc_secs
+    gbps = n * lanes * 4 / marginal / 1e9 if marginal else None
+    return s1, marginal, gbps, loc_samples, spread
 
 
 def run_gf16_metric(iters: int):
@@ -186,13 +214,15 @@ def run_gf16_metric(iters: int):
     bits = jax.random.bits(jax.random.key(2), (k, lanes), dtype=jnp.uint32)
     data = jax.block_until_ready(bits & jnp.uint32(0xFFFF))
     fn = jax.jit(lambda x: rs.encode_parity(x, GF16, 2 * k))
-    secs = time_fn(fn, data, iters=iters)
+    s1 = time_samples(fn, data, iters=iters)
     fn2 = jax.jit(lambda x: rs.encode_parity(
         rs.encode_parity(x, GF16, 2 * k), GF16, 2 * k))
-    marginal = _sane_marginal(time_fn(fn2, data, iters=iters), secs)
+    s2 = time_samples(fn2, data, iters=iters)
+    marginal, spread = _marginal_from_samples(s2, s1)
     del data
-    return secs, 2 * k * lanes * 2 / secs / 1e9, \
-        (2 * k * lanes * 2 / marginal / 1e9 if marginal else None)
+    secs = median(s1)
+    return s1, 2 * k * lanes * 2 / secs / 1e9, \
+        (2 * k * lanes * 2 / marginal / 1e9 if marginal else None), spread
 
 
 def run_ntt_metric(iters: int):
@@ -203,11 +233,12 @@ def run_ntt_metric(iters: int):
     from fastecc_tpu.ntt import ntt_auto
     x = jax.block_until_ready(make_data(1 << 20, 512))
     fn = jax.jit(lambda v: ntt_auto(v, GF32))
-    secs = time_fn(fn, x, iters=iters)
+    s1 = time_samples(fn, x, iters=iters)
     fn2 = jax.jit(lambda v: ntt_auto(ntt_auto(v, GF32), GF32))
-    marginal = _sane_marginal(time_fn(fn2, x, iters=iters), secs)
+    s2 = time_samples(fn2, x, iters=iters)
+    marginal, spread = _marginal_from_samples(s2, s1)
     del x
-    return secs, marginal
+    return s1, marginal, spread
 
 
 def main():
@@ -216,7 +247,11 @@ def main():
                     help="log2 of data block count (n = 2*k blocks total)")
     ap.add_argument("--lanes", type=int, default=1024,
                     help="u32 word lanes per block (1024 = 4KB blocks)")
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--samples", "--iters", dest="samples", type=int,
+                    default=5,
+                    help="timed samples per metric; every reported number "
+                         "is the MEDIAN with min/max spread alongside "
+                         "(--iters is the legacy alias)")
     ap.add_argument("--lane-chunks", type=int, default=1,
                     help="sequential lane chunks (memory fallback for the "
                          "staged jnp path; the fused Pallas path fits "
@@ -247,8 +282,8 @@ def main():
     while True:
         chunks = args.lane_chunks
         try:
-            secs, marginal, total_bytes, k, n = run(lg_k, args.lanes,
-                                                    args.iters, chunks)
+            enc_s1, enc_s2, total_bytes, k, n = run(lg_k, args.lanes,
+                                                    args.samples, chunks)
             break
         except Exception as e:  # noqa: BLE001 - OOM fallback, reported
             if ntt_mfa.PAIR_ENABLED:
@@ -283,32 +318,50 @@ def main():
             gc.collect()
             jax.clear_caches()
 
+    secs = median(enc_s1)
+    marginal, enc_spread = _marginal_from_samples(enc_s2, enc_s1)
+    stats = {"encode_call": _stats(enc_s1)}
+    if enc_spread:
+        stats["encode_marginal_spread"] = enc_spread
+
     ntt_secs = ntt_marg = None
     dec_call = dec_secs = dec_gbps = loc_secs = None
     g16_secs = g16_gbps = g16_marg = None
     if backend_fallback is None:   # secondaries are full-scale: chip only
         try:
-            ntt_secs, ntt_marg = run_ntt_metric(args.iters)
-            ntt_secs = round(ntt_secs, 4)
+            ntt_s1, ntt_marg, ntt_spread = run_ntt_metric(args.samples)
+            ntt_secs = round(median(ntt_s1), 4)
+            stats["ntt_call"] = _stats(ntt_s1)
+            if ntt_spread:
+                stats["ntt_marginal_spread"] = ntt_spread
             ntt_marg = round(ntt_marg, 4) if ntt_marg else None
         except Exception:  # noqa: BLE001 - secondary metric, best-effort
             ntt_secs = ntt_marg = None
         jax.clear_caches()
         gc.collect()
         try:
-            dec_call, dec_secs, dec_gbps, loc_secs = run_decode_metric(
-                max(2, args.iters))
-            dec_call = round(dec_call, 4)
+            dec_s1, dec_secs, dec_gbps, loc_samples, dec_spread = \
+                run_decode_metric(max(2, args.samples))
+            dec_call = round(median(dec_s1), 4)
+            stats["decode_call"] = _stats(dec_s1)
+            stats["decode_locator_build"] = _stats(loc_samples, nd=3)
+            if dec_spread:
+                stats["decode_marginal_spread"] = dec_spread
             dec_secs = round(dec_secs, 4) if dec_secs else None
             dec_gbps = round(dec_gbps, 2) if dec_gbps else None
-            loc_secs = round(loc_secs, 3)
+            loc_secs = round(median(loc_samples), 3)
         except Exception:  # noqa: BLE001 - secondary metric, best-effort
             dec_call = dec_secs = dec_gbps = loc_secs = None
         jax.clear_caches()
         gc.collect()
         try:
-            g16_secs, g16_gbps, g16_marg = run_gf16_metric(args.iters)
-            g16_secs, g16_gbps = round(g16_secs, 4), round(g16_gbps, 2)
+            g16_s1, g16_gbps, g16_marg, g16_spread = \
+                run_gf16_metric(args.samples)
+            g16_secs = round(median(g16_s1), 4)
+            g16_gbps = round(g16_gbps, 2)
+            stats["gf16_call"] = _stats(g16_s1)
+            if g16_spread:
+                stats["gf16_marginal_spread"] = g16_spread
             g16_marg = round(g16_marg, 2) if g16_marg else None
         except Exception:  # noqa: BLE001 - secondary metric, best-effort
             g16_secs = g16_gbps = g16_marg = None
@@ -366,6 +419,7 @@ def main():
                    "gf16_encode_wire_gb_per_sec": g16_gbps,
                    "gf16_marginal_wire_gb_per_sec": g16_marg,
                    "pct_of_speed_of_light": sol or None,
+                   "stats": stats,
                    "device": str(jax.devices()[0]).strip()},
     }))
 

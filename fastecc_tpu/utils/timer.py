@@ -68,20 +68,43 @@ def fence(out):
     return out
 
 
-def time_fn(fn, *args, iters: int = 3, warmup: int = 1):
-    """Best-of-``iters`` wall time of ``fn(*args)`` in seconds.
+def time_samples(fn, *args, iters: int = 3, warmup: int = 1) -> list[float]:
+    """Every wall-time sample of ``fn(*args)`` in seconds (length ``iters``).
 
     Runs ``warmup`` untimed calls first (absorbs jit compilation), fences
     every call (see :func:`fence`), and drops each result before the next
     iteration so async dispatch can't stack output buffers in HBM.
+
+    Returning ALL samples (not a min) is deliberate: same-commit chip runs
+    on this environment's tunneled v5e spread far beyond the once-claimed
+    ±7% (round-3 GF16 marginals swung 45-68 GB/s), so headline numbers are
+    medians-with-spread, not best-of (round-3 verdict weak-point 2).
     """
     for _ in range(warmup):
         r = fence(fn(*args))
         del r
-    best = float("inf")
+    samples = []
     for _ in range(iters):
         t0 = time.perf_counter()
         r = fence(fn(*args))
-        best = min(best, time.perf_counter() - t0)
+        samples.append(time.perf_counter() - t0)
         del r
-    return best
+    return samples
+
+
+def median(samples) -> float:
+    """Median without numpy-float leakage (plain float for JSON)."""
+    s = sorted(samples)
+    m = len(s) // 2
+    return float(s[m]) if len(s) % 2 else float((s[m - 1] + s[m]) / 2)
+
+
+def time_fn(fn, *args, iters: int = 3, warmup: int = 1):
+    """Best-of-``iters`` wall time of ``fn(*args)`` in seconds.
+
+    Kept for microbenchmarks where min is the right statistic (peak-rate
+    measurement: any slower sample is contention, and the peaks feed
+    roofline UPPER bounds, which the fastest observation estimates best).
+    Throughput headlines should use :func:`time_samples` + :func:`median`.
+    """
+    return min(time_samples(fn, *args, iters=iters, warmup=warmup))

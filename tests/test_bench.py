@@ -68,6 +68,34 @@ def test_probe_single_shot_via_env(monkeypatch):
     assert len(calls) == 1
 
 
+def test_median_helper():
+    from fastecc_tpu.utils.timer import median
+
+    assert median([3.0, 1.0, 2.0]) == 2.0
+    assert median([4.0, 1.0, 2.0, 3.0]) == 2.5
+
+
+def test_marginal_from_samples(monkeypatch):
+    """The marginal is the difference of MEDIANS with a conservative
+    min/max spread envelope; indistinguishable chains gate to None
+    (round-3 verdict: headline numbers must be medians-with-spread)."""
+    monkeypatch.setattr(bench, "_DISPATCH_SECS", 0.04)
+    s1 = [0.10, 0.11, 0.12]
+    m, spread = bench._marginal_from_samples([0.20, 0.21, 0.22], s1)
+    assert m == pytest.approx(0.10)
+    assert spread == (pytest.approx(0.08), pytest.approx(0.12))
+    # chain statistically indistinguishable from the single call: gated
+    assert bench._marginal_from_samples([0.111, 0.112, 0.113], s1) == \
+        (None, None)
+    assert bench._marginal_from_samples(None, s1) == (None, None)
+
+
+def test_stats_reports_median_spread_and_samples():
+    s = bench._stats([0.3, 0.1, 0.2])
+    assert s == {"median": 0.2, "min": 0.1, "max": 0.3, "n": 3,
+                 "samples": [0.3, 0.1, 0.2]}
+
+
 def test_pair_default_c_split_pins():
     """Pin the measured-best seam-pair split (tools/onchip_r3.log):
     balanced up to 2^16, shallow-c1/deep-r1 above (c1=512 beat the
