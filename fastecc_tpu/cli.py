@@ -441,8 +441,14 @@ def cmd_check(args):
     survivors — including silently-corrupted blocks that were LOCATED
     algebraically, status "corrupt-located"); 2 = unrecoverable (< k
     survivors); 3 = inconsistent but not locatable (corruption beyond
-    the e + 2t <= n-k capacity or a degenerate pattern — the most
-    alarming state: something lied and repair cannot fix it).
+    capacity or a degenerate pattern — the most alarming state:
+    something lied and repair cannot fix it).
+
+    Location capacity: algebraic location finds at most
+    min((n-k-e)/2, 16384) silently corrupt rows (the designed
+    decode._BM_MAX syndrome-window cap — its O(w^2) host solve is ~9 s
+    at the full window; corruption wider than that is CRC's job, and
+    CRC-tagged corruption is caught block-by-block regardless).
 
     Directories whose codeword exceeds --max-resident stream through a
     memmap stage + lane-chunked verification (storage.check_file_stream)
@@ -505,7 +511,10 @@ def cmd_repair(args):
     The storage-maintenance workflow (re-replication after loss): where
     `recover` reconstructs the original file, `repair` rewrites every
     missing codeword block — data and parity — so the directory is back
-    at full n-of-n redundancy.
+    at full n-of-n redundancy. Silently-corrupt blocks (wrong bytes,
+    valid-looking files) are located algebraically up to
+    min((n-k-e)/2, 16384) rows per stripe (decode._BM_MAX; see
+    `cli check`) and rewritten too, including forged manifest CRCs.
     """
     import jax.numpy as jnp
 

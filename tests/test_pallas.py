@@ -253,3 +253,85 @@ def test_seam_fused_pair_split_choices(field, c_dim):
     got = np.asarray(
         ntt_coset_pair_pallas(x, field, g, interpret=True, c_dim=c_dim))
     np.testing.assert_array_equal(got, want)
+
+
+def test_tile_for_policy():
+    """The auto-tile policy widens the lane tile exactly one doubling for
+    small-order shapes (the measured GF16 win, tools/onchip_r4.log) and
+    leaves every shape whose per-step block would exceed the budget — or
+    whose lane count can't split into 256-wide tiles — on the native
+    (8, 128) tile."""
+    from fastecc_tpu.kernels.ntt_mfa import _TL, _TR, _tile_for
+
+    # GF16 encode pair shape (c1=128, r1=64, L=2^15): widens
+    assert _tile_for(128, 64, 1 << 15) == (_TR, 256)
+    # GF32 headline pair shape (c1=512, r1=1024, L=1024): 8 MB per-step
+    # block at TL=256 exceeds the budget -> native tile
+    assert _tile_for(512, 1024, 1024) == (_TR, _TL)
+    # decode transform shape (c=2048, r=512, L=512): native tile
+    assert _tile_for(2048, 512, 512) == (_TR, _TL)
+    # lanes that can't halve into 256-wide tiles: native tile
+    assert _tile_for(128, 64, 128) == (_TR, _TL)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("tile", [None, (8, 256), (16, 128), (16, 256)])
+def test_pallas_tile_choices_bit_exact(field, tile):
+    """Every legal (TR, TL) tile — wider lane tiles, taller sublane
+    tiles, and the auto policy (None, which widens at 512 lanes) — must
+    be bit-exact vs the staged transform, in both directions."""
+    n = 1 << 10      # default split (64, 16): R >= 16 admits TR=16 tiles
+    x = jnp.asarray(rand_field(field, (n, 512)))
+    for inverse in (False, True):
+        want = np.asarray(ntt(x, field, inverse=inverse))
+        got = np.asarray(ntt_pallas(x, field, inverse=inverse,
+                                    interpret=True, tile=tile))
+        np.testing.assert_array_equal(got, want, err_msg=f"tile={tile}")
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("tile", [None, (8, 256), (16, 256)])
+def test_seam_pair_tile_choices_bit_exact(field, tile):
+    """The seam-fused coset pair at non-default tiles (and the auto
+    policy at 512 lanes) must be bit-exact vs the staged transforms —
+    this is the exact production path of the GF16 tile widening."""
+    from fastecc_tpu.kernels.ntt_mfa import ntt_coset_pair_pallas
+
+    n = 1 << 9
+    x = jnp.asarray(rand_field(field, (n, 512)))
+    g = field.root_of_order(2 * n)
+    coeffs = ntt(x, field, inverse=True)
+    pre = jnp.asarray(
+        prepare_consts(field, powers_host(field, g, n))).reshape(n, 1)
+    want = np.asarray(ntt(mul_prepared(field, coeffs, pre), field))
+    got = np.asarray(ntt_coset_pair_pallas(x, field, g, interpret=True,
+                                           tile=tile))
+    np.testing.assert_array_equal(got, want, err_msg=f"tile={tile}")
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_decode_pair_widened_tile_bit_exact(field):
+    """The decode specialization (pre_vec1/pre_vec2/post_vec/sel_mask)
+    reshapes its [N] tables by TR — the widened tile must keep those
+    fusions bit-exact too."""
+    from fastecc_tpu import rs
+    from fastecc_tpu.decode import (_xderiv_consts, decode_prepared,
+                                    prepare_decode_tables)
+    from fastecc_tpu.kernels.ntt_mfa import ntt_pair_pallas
+
+    n, k, lanes = 1 << 9, 1 << 8, 512
+    data = jnp.asarray(rand_field(field, (k, lanes)))
+    cw = rs.encode_jit(data, field, n)
+    erased = np.sort(RNG.choice(n, size=n - k, replace=False)).astype(
+        np.uint32)
+    corrupted = cw.at[jnp.asarray(erased)].set(0)
+    mask, l_eval, lp_inv = prepare_decode_tables(erased, n, field,
+                                                 locator="host")
+    want = np.asarray(decode_prepared(corrupted, mask, l_eval, lp_inv,
+                                      field))
+    dx = jnp.asarray(_xderiv_consts(field.name, n))
+    got = np.asarray(ntt_pair_pallas(
+        corrupted, field, pre_vec1=l_eval, pre_vec2=dx, post_vec=lp_inv,
+        sel_mask=mask, sel_orig=corrupted, interpret=True, tile=(8, 256)))
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got, np.asarray(cw))

@@ -3,6 +3,7 @@ in-core CLI paths, never materializing the file/codeword in RAM."""
 
 import filecmp
 import json
+import pathlib
 
 import numpy as np
 import pytest
@@ -1062,3 +1063,107 @@ def test_scan_rejects_kind_suffix_mismatch(tmp_path):
     dst = tmp_path / "k.back"
     storage.recover_file_stream(out, dst)
     assert dst.read_bytes() == payload
+
+
+def test_fd_cache_pins_reuses_and_falls_back(tmp_path):
+    """_FdCache contract: cached paths serve preads without reopening
+    (even if the file is replaced — POSIX fd semantics, which is why
+    Reader must not outlive directory changes), over-capacity paths
+    fall back to open/pread/close, and close() releases everything but
+    keeps pread working."""
+    import os
+
+    a, b = tmp_path / "a.bin", tmp_path / "b.bin"
+    a.write_bytes(b"AAAAAAAA")
+    b.write_bytes(b"BBBBBBBB")
+    fdc = storage._FdCache(capacity=1)
+    assert fdc.pread(a, 4, 2) == b"AAAA"
+    assert len(fdc._fds) == 1
+    assert fdc.pread(b, 4, 0) == b"BBBB"      # over capacity: fallback
+    assert len(fdc._fds) == 1
+    # replacing a cached file: the pinned fd still serves the OLD bytes
+    os.replace(b, a)
+    assert fdc.pread(a, 4, 2) == b"AAAA"
+    fdc.close()
+    assert not fdc._fds
+    assert fdc.pread(a, 4, 2) == b"BBBB"      # re-opens after close
+
+
+def test_reader_warm_degraded_read_opens_no_files(tmp_path, monkeypatch):
+    """The serving-floor fix (round-3 verdict next-step 4): after the
+    first degraded read warms the Reader's fd cache, further reads of
+    the same window must not open a single file — they are pure preads
+    plus the cached-table decode. Pinned by making os.open explode."""
+    import os
+
+    src = _make_file(tmp_path, 8 * 4096 + 77, name="w.bin")
+    payload = src.read_bytes()
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+    (out / "block_000002.dat").unlink()
+
+    with storage.Reader(out) as rdr:
+        off, ln = 4096 + 3, 2000
+        assert rdr.read(off, ln) == payload[off: off + ln]
+        assert rdr._fds._fds, "first degraded read must warm the cache"
+
+        real_open, real_pread = os.open, os.pread
+
+        def no_open(path, *a, **kw):
+            raise AssertionError(f"warm read reopened {path!r}")
+
+        # a DIFFERENT window in the same missing block: fresh column IO,
+        # but pure preads through the cached fds — zero opens
+        monkeypatch.setattr(os, "open", no_open)
+        try:
+            off2 = 4096 + 2100
+            assert rdr.read(off2, 555) == payload[off2: off2 + 555]
+
+            # a REPEAT of the first window: the decoded window slice is
+            # cached, so the read does no file IO at all
+            def no_pread(*a, **kw):
+                raise AssertionError("same-window read touched a file")
+
+            monkeypatch.setattr(os, "pread", no_pread)
+            # same length 7 bytes later -> the same 16-word-aligned
+            # window (0, 512) as the first read
+            assert rdr.read(off + 7, ln) == payload[off + 7: off + 7 + ln]
+        finally:
+            monkeypatch.setattr(os, "open", real_open)
+            monkeypatch.setattr(os, "pread", real_pread)
+    # closed Reader still serves (re-opening per call)
+    assert rdr.read(off, 64) == payload[off: off + 64]
+
+
+def test_update_stripe_reads_each_parity_file_once(tmp_path, monkeypatch):
+    """Round-3 verdict weak #5: the refuse-before-write pre-pass used to
+    read+CRC every parity file, then the update pass re-read them. Pin
+    the fix: a clean 1-block update reads each parity file's bytes
+    exactly once (the CRC rides the update read; staged .tmp files make
+    refusal atomic)."""
+    src = _make_file(tmp_path, 6 * 4096, name="u.bin")
+    out = tmp_path / "coded"
+    assert cli.main(["encode", str(src), "-o", str(out)]) == 0
+
+    reads = []
+    orig = pathlib.Path.read_bytes
+
+    def spy(self):
+        if self.suffix == ".par":
+            reads.append(self.name)
+        return orig(self)
+
+    monkeypatch.setattr(pathlib.Path, "read_bytes", spy)
+    assert storage.update_file(out, 4096 + 9, b"edit!") == 1
+    monkeypatch.setattr(pathlib.Path, "read_bytes", orig)
+    assert reads, "the update must read parity"
+    assert len(reads) == len(set(reads)), (
+        f"parity files read more than once: "
+        f"{sorted(n for n in set(reads) if reads.count(n) > 1)[:3]}")
+    assert not list(out.glob("*.tmp")), "staged temps must not survive"
+    # and the directory still round-trips bit-exactly
+    dec_path = tmp_path / "back.bin"
+    assert cli.main(["recover", str(out), "-o", str(dec_path)]) == 0
+    want = bytearray(src.read_bytes())
+    want[4096 + 9: 4096 + 14] = b"edit!"
+    assert dec_path.read_bytes() == bytes(want)
