@@ -225,6 +225,71 @@ def run_gf16_metric(iters: int):
         (2 * k * lanes * 2 / marginal / 1e9 if marginal else None), spread
 
 
+def run_gf16_wire_metric(iters: int):
+    """Secondary: GF(0x10001) WIRE-domain encode GB/s — the product path
+    (rs.encode_blocks) as raw bytes in, serialized parity out, measured
+    at the same codec shape as the field-domain metric (k=2^13 blocks of
+    B=65536 bytes = 2^15 wire words). Uses the parts form
+    (encode_blocks_gf16_parts): pack fused into pass A1, serialization
+    into pass B2 — the wire pipeline moves LESS HBM than the
+    field-domain one, so this number should sit ABOVE the field marginal
+    (roofline: utils/profiling.encode_blocks_roofline). Wire GB/s counts
+    codeword wire bytes n * B."""
+    from fastecc_tpu import rs
+
+    k, block_bytes = 1 << 13, 1 << 16
+    wu = block_bytes // 4
+    bits = jax.random.bits(jax.random.key(3), (k, wu), dtype=jnp.uint32)
+    pairs = jax.block_until_ready(bits)
+    fn = jax.jit(lambda x: rs.encode_blocks_gf16_parts(x, 2 * k))
+    s1 = time_samples(lambda x: fn(x)[0], pairs, iters=iters)
+    # stored has the input's shape/dtype: chain parity back in as data
+    fn2 = jax.jit(lambda x: rs.encode_blocks_gf16_parts(
+        rs.encode_blocks_gf16_parts(x, 2 * k)[0], 2 * k))
+    s2 = time_samples(lambda x: fn2(x)[0], pairs, iters=iters)
+    marginal, spread = _marginal_from_samples(s2, s1)
+    del pairs
+    wire_bytes = 2 * k * block_bytes
+    return s1, wire_bytes / median(s1) / 1e9, \
+        (wire_bytes / marginal / 1e9 if marginal else None), spread
+
+
+def run_gf32_wire_metric(iters: int, lg_k: int = 19):
+    """Secondary: GF32 WIRE-domain encode GB/s (rs.encode_blocks at the
+    headline shape: k data blocks of 4096 bytes). GF32 has no fused wire
+    pair (the escape bitmap is extra codeword LANES — see ntt_mfa.py),
+    so this measures the honest product path: XLA pack pass + the fused
+    field pair + XLA serialize pass, all priced by
+    encode_blocks_roofline(fused=False). Falls back to lg_k-1 on OOM
+    (the raw + packed + wire arrays coexist)."""
+    from fastecc_tpu import rs
+
+    while True:
+        k, block_bytes = 1 << lg_k, 4096
+        try:
+            bits = jax.random.bits(jax.random.key(4), (k, block_bytes),
+                                   dtype=jnp.uint8)
+            raw = jax.block_until_ready(bits)
+            fn = jax.jit(lambda x: rs.encode_blocks(x, GF32, 2 * k))
+            s1 = time_samples(fn, raw, iters=iters)
+            fn2 = jax.jit(lambda x: rs.encode_blocks(
+                rs.encode_blocks(x, GF32, 2 * k)[:, :block_bytes],
+                GF32, 2 * k))
+            s2 = time_samples(fn2, raw, iters=iters)
+            break
+        except Exception:  # noqa: BLE001 - OOM fallback, reported via k
+            if lg_k <= 16:
+                raise
+            lg_k -= 1
+            gc.collect()
+            jax.clear_caches()
+    marginal, spread = _marginal_from_samples(s2, s1)
+    del raw
+    wire_bytes = 2 * k * block_bytes
+    return s1, wire_bytes / median(s1) / 1e9, \
+        (wire_bytes / marginal / 1e9 if marginal else None), spread, k
+
+
 def run_ntt_metric(iters: int):
     """Secondary headline: 2^20-point GF(p) NTT wall time (BASELINE.json:2).
 
@@ -327,6 +392,8 @@ def main():
     ntt_secs = ntt_marg = None
     dec_call = dec_secs = dec_gbps = loc_secs = None
     g16_secs = g16_gbps = g16_marg = None
+    g16w_secs = g16w_gbps = g16w_marg = None
+    g32w_secs = g32w_gbps = g32w_marg = g32w_k = None
     if backend_fallback is None:   # secondaries are full-scale: chip only
         try:
             ntt_s1, ntt_marg, ntt_spread = run_ntt_metric(args.samples)
@@ -365,6 +432,32 @@ def main():
             g16_marg = round(g16_marg, 2) if g16_marg else None
         except Exception:  # noqa: BLE001 - secondary metric, best-effort
             g16_secs = g16_gbps = g16_marg = None
+        jax.clear_caches()
+        gc.collect()
+        try:
+            g16w_s1, g16w_gbps, g16w_marg, g16w_spread = \
+                run_gf16_wire_metric(args.samples)
+            g16w_secs = round(median(g16w_s1), 4)
+            g16w_gbps = round(g16w_gbps, 2)
+            stats["gf16_wire_call"] = _stats(g16w_s1)
+            if g16w_spread:
+                stats["gf16_wire_marginal_spread"] = g16w_spread
+            g16w_marg = round(g16w_marg, 2) if g16w_marg else None
+        except Exception:  # noqa: BLE001 - secondary metric, best-effort
+            g16w_secs = g16w_gbps = g16w_marg = None
+        jax.clear_caches()
+        gc.collect()
+        try:
+            g32w_s1, g32w_gbps, g32w_marg, g32w_spread, g32w_k = \
+                run_gf32_wire_metric(args.samples)
+            g32w_secs = round(median(g32w_s1), 4)
+            g32w_gbps = round(g32w_gbps, 2)
+            stats["gf32_wire_call"] = _stats(g32w_s1)
+            if g32w_spread:
+                stats["gf32_wire_marginal_spread"] = g32w_spread
+            g32w_marg = round(g32w_marg, 2) if g32w_marg else None
+        except Exception:  # noqa: BLE001 - secondary metric, best-effort
+            g32w_secs = g32w_gbps = g32w_marg = g32w_k = None
 
     # self-certification: each marginal as % of its op-count
     # speed-of-light (cli roofline / DESIGN.md §4). Chip numbers only —
@@ -387,6 +480,18 @@ def main():
                                           field_name="GF16", seam=seam)
             sol["gf16_encode"] = round(
                 100 * g16_marg / (b["speed_of_light_gbps"] / 2))
+        if g16w_marg:
+            b = profiling.encode_blocks_roofline(1 << 14, 1 << 16,
+                                                 field_name="GF16",
+                                                 fused=seam)
+            sol["gf16_wire"] = round(
+                100 * g16w_marg / b["speed_of_light_gbps"])
+        if g32w_marg and g32w_k:
+            b = profiling.encode_blocks_roofline(2 * g32w_k, 4096,
+                                                 field_name="GF32",
+                                                 fused=False)
+            sol["gf32_wire"] = round(
+                100 * g32w_marg / b["speed_of_light_gbps"])
 
     gbps = total_bytes / secs / 1e9
     # Both throughput conventions, so nobody is misled by either: the
@@ -418,6 +523,13 @@ def main():
                    "gf16_encode_2e14_seconds": g16_secs,
                    "gf16_encode_wire_gb_per_sec": g16_gbps,
                    "gf16_marginal_wire_gb_per_sec": g16_marg,
+                   "gf16_wiredomain_call_seconds": g16w_secs,
+                   "gf16_wiredomain_gb_per_sec": g16w_gbps,
+                   "gf16_wiredomain_marginal_gb_per_sec": g16w_marg,
+                   "gf32_wiredomain_call_seconds": g32w_secs,
+                   "gf32_wiredomain_gb_per_sec": g32w_gbps,
+                   "gf32_wiredomain_marginal_gb_per_sec": g32w_marg,
+                   "gf32_wiredomain_k": g32w_k,
                    "pct_of_speed_of_light": sol or None,
                    "stats": stats,
                    "device": str(jax.devices()[0]).strip()},

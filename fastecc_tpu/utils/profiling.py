@@ -164,6 +164,61 @@ def decode_roofline(n: int, lanes: int, peaks: dict | None = None,
                              peaks=peaks)
 
 
+def encode_blocks_roofline(n_blocks: int, block_bytes: int = 4096,
+                           field_name: str = "GF16", fused: bool = True,
+                           peaks: dict | None = None) -> dict:
+    """WIRE-domain RS-encode speed-of-light (rs.encode_blocks): the
+    field-domain pipeline PLUS the priced pack/serialize HBM passes
+    (round-4 verdict directive 3 — before this row existed, the product
+    wire path's extra passes were invisible to the roofline).
+
+    Per wire unit of the [k, lanes]-field pipeline (4 HBM bytes per
+    element-pass), the priced traffic is:
+
+    GF16 (W = B/2 wire words, elements = k*W):
+      * ``fused=True`` — the fused wire pair
+        (kernels/ntt_mfa.ntt_coset_pair_wire16_pallas): pack rides pass
+        A1's prologue (reads 2-byte wire words, not 4-byte lanes) and
+        serialization rides pass B2's epilogue (writes 2-byte stored
+        words + the 0.25-byte/word escape bitmap) -> 2r+4w, 4r+4w,
+        4r+2.25w = **20.25 bytes/word**, LESS than the field-domain
+        path's 24.
+      * ``fused=False`` — the generic pack -> encode_parity -> serialize
+        pipeline: 24 (field) + 6 (pack: 2r raw + 4w lanes) + 6.25
+        (serialize: 4r + 2.25w) = **36.25 bytes/word**.
+
+    GF32 (Wd = B/4 data words, E = Wd + ceil(Wd/16) lanes with the
+    escape-bitmap lanes): pack does NOT fuse — the bitmap lanes are a
+    16-lane-group reduction of the input that lands at a different grid
+    column than the words it summarizes (ntt_mfa.py wire-pair note) —
+    so only ``fused=False`` is honest: 24E (field) + pack (4Wd r +
+    4E w) + serialize (4E r + 4E w, the LE byte image). Compute is
+    priced identically to the field-domain pipeline (pack/serialize
+    shifts are undercounted on purpose: op-count ties break toward
+    fewer ops so the bound stays a true speed-of-light).
+
+    GB/s convention: codeword wire bytes = n_blocks * block_bytes.
+    """
+    k = n_blocks // 2
+    if field_name == "GF16":
+        w = block_bytes // 2
+        lanes = w
+        per_word = 20.25 if fused else 36.25
+        total_bytes = k * w * per_word
+    else:
+        assert not fused, "the GF32 wire pipeline has no fused variant"
+        wd = block_bytes // 4
+        lanes = wd + -(-wd // 16)
+        total_bytes = k * (32.0 * lanes + 4.0 * wd)
+    base = pipeline_roofline(
+        field_name, k, lanes, n_transforms=2, extra_mulmods_per_elem=3.0,
+        hbm_passes=total_bytes / (2.0 * k * lanes * 4.0),
+        out_bytes=n_blocks * block_bytes, peaks=peaks)
+    base["hbm_bytes"] = total_bytes
+    base["fused"] = fused
+    return base
+
+
 def encode_roofline(n_blocks: int, lanes: int, peaks: dict | None = None,
                     field_name: str = "GF32", seam: bool = True):
     """RS-encode speed-of-light (coset fast path: iNTT_k + coset NTT_k,

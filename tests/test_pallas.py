@@ -335,3 +335,103 @@ def test_decode_pair_widened_tile_bit_exact(field):
         sel_mask=mask, sel_orig=corrupted, interpret=True, tile=(8, 256)))
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(got, np.asarray(cw))
+
+
+# ---------------------------------------------------------------------------
+# GF16 wire-domain fused pair (round-4 directive 3): pack in pass A1's
+# prologue, serialization in pass B2's epilogue. Bit-exactness contract:
+# identical bytes to serialize_parity(encode_parity(pack_data(raw))),
+# split at the stored/bitmap boundary of packing.py's pinned format.
+# ---------------------------------------------------------------------------
+
+def _wire16_reference(raw, k):
+    from fastecc_tpu import packing, rs
+    fields_in = packing.pack_data(jnp.asarray(raw), GF16)
+    par = rs.encode_parity(fields_in, GF16, 2 * k)
+    wire = np.asarray(packing.serialize_parity(par, GF16))
+    w = raw.shape[1] // 2
+    return wire, wire[:, :2 * w], wire[:, 2 * w:], np.asarray(par)
+
+
+@pytest.mark.parametrize("k,block_bytes", [(1 << 8, 1024), (1 << 7, 4096)])
+def test_wire16_pair_matches_generic(k, block_bytes):
+    from fastecc_tpu.kernels.ntt_mfa import ntt_coset_pair_wire16_pallas
+    from fastecc_tpu import rs
+    raw = RNG.integers(0, 256, (k, block_bytes), dtype=np.uint8)
+    pairs = np.ascontiguousarray(raw).view(np.uint32)
+    stored, bm = ntt_coset_pair_wire16_pallas(
+        jnp.asarray(pairs), GF16, GF16.root_of_order(2 * k),
+        interpret=True, tile=(8, 128))
+    wire, st_ref, bm_ref, _ = _wire16_reference(raw, k)
+    assert np.array_equal(np.asarray(stored).view(np.uint8), st_ref)
+    assert np.array_equal(np.asarray(bm).astype(np.uint16).view(np.uint8),
+                          bm_ref)
+    # and the host assembler reproduces the full wire bytes
+    assert np.array_equal(rs.wire_gf16_from_parts(stored, bm), wire)
+
+
+def test_wire16_pair_escape_bitmap_exercised():
+    """A case whose parity CONTAINS 0x10000 values (seed searched: k=2^8,
+    B=4096 under default_rng(0) yields 10 escapes) — proves the fused
+    truncation + bitmap epilogue handles the escape, not just zeros."""
+    from fastecc_tpu.kernels.ntt_mfa import ntt_coset_pair_wire16_pallas
+    k, block_bytes = 1 << 8, 4096
+    raw = np.random.default_rng(0).integers(0, 256, (k, block_bytes),
+                                            dtype=np.uint8)
+    wire, st_ref, bm_ref, par = _wire16_reference(raw, k)
+    assert (par == 0x10000).sum() > 0, "test shape no longer hits escapes"
+    pairs = np.ascontiguousarray(raw).view(np.uint32)
+    stored, bm = ntt_coset_pair_wire16_pallas(
+        jnp.asarray(pairs), GF16, GF16.root_of_order(2 * k),
+        interpret=True, tile=(8, 128))
+    assert np.array_equal(np.asarray(stored).view(np.uint8), st_ref)
+    assert np.array_equal(np.asarray(bm).astype(np.uint16).view(np.uint8),
+                          bm_ref)
+    assert np.asarray(bm).any(), "escape bits must be set in the bitmap"
+
+
+def test_wire16_parts_roundtrip_through_decode():
+    """Wire parity from the fused pair must DECODE: drop data blocks,
+    recover them from the pair's serialized parity via the product
+    decode path (proves end-to-end wire-format compatibility, not just
+    byte equality of the serializer)."""
+    from fastecc_tpu.kernels.ntt_mfa import ntt_coset_pair_wire16_pallas
+    from fastecc_tpu import decode as dec
+    from fastecc_tpu import rs
+    k, block_bytes = 1 << 7, 1024
+    raw = RNG.integers(0, 256, (k, block_bytes), dtype=np.uint8)
+    pairs = np.ascontiguousarray(raw).view(np.uint32)
+    stored, bm = ntt_coset_pair_wire16_pallas(
+        jnp.asarray(pairs), GF16, GF16.root_of_order(2 * k),
+        interpret=True, tile=(8, 128))
+    wire = rs.wire_gf16_from_parts(stored, bm)
+    # survivors: all parity (odd codeword positions), no data
+    survivors = {2 * i + 1: wire[i] for i in range(k)}
+    got = dec.decode_blocks(survivors, 2 * k, k, GF16,
+                            block_bytes=block_bytes)
+    assert np.array_equal(got, raw)
+
+
+def test_wire16_supported_predicate():
+    from fastecc_tpu.kernels.ntt_mfa import _wire16_supported
+    assert _wire16_supported(1 << 13, 1 << 14)      # the bench shape
+    assert not _wire16_supported(1 << 13, 100)      # Wu not tile-aligned
+
+
+def test_encode_blocks_roofline_prices_wire_passes():
+    """The wire roofline row must price MORE traffic than the
+    field-domain row for the unfused path, and LESS for the fused GF16
+    pair (wire IO is 2 bytes/word vs 4); GF32 wire stays compute-bound
+    (the priced passes fit in the compute slack)."""
+    from fastecc_tpu.utils import profiling as P
+    fused = P.encode_blocks_roofline(1 << 14, 1 << 16, "GF16", fused=True)
+    unfused = P.encode_blocks_roofline(1 << 14, 1 << 16, "GF16",
+                                       fused=False)
+    field = P.encode_roofline(1 << 14, 1 << 15, field_name="GF16")
+    assert unfused["t_memory_bound_s"] > field["t_memory_bound_s"]
+    assert fused["t_memory_bound_s"] < field["t_memory_bound_s"]
+    assert fused["speed_of_light_s"] <= unfused["speed_of_light_s"]
+    g32 = P.encode_blocks_roofline(1 << 20, 4096, "GF32", fused=False)
+    assert g32["bound"] == "compute"
+    with pytest.raises(AssertionError):
+        P.encode_blocks_roofline(1 << 20, 4096, "GF32", fused=True)

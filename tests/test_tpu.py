@@ -128,3 +128,74 @@ def test_compiled_kernels_on_chip():
         pytest.skip(f"no TPU answers: {proc.stdout.strip()}")
     assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
     assert "TPU-TIER-PASS" in proc.stdout, proc.stdout
+
+
+_STORAGE_SCRIPT = r"""
+import numpy as np
+import jax
+
+if jax.default_backend() != "tpu":
+    print("NO-TPU:", jax.default_backend())
+    raise SystemExit(42)
+
+import pathlib
+import sys
+import tempfile
+
+from fastecc_tpu import storage
+
+tmp = pathlib.Path(tempfile.mkdtemp(prefix="fastecc_tpu_smoke_"))
+rng = np.random.default_rng(0x5709)
+payload = bytearray(rng.integers(0, 256, 6 * 4096 + 123,
+                                 dtype=np.uint16).astype(np.uint8))
+src = tmp / "payload.bin"
+src.write_bytes(bytes(payload))
+out = tmp / "coded"
+
+# encode -> partial write -> degrade -> ranged read -> recover, every
+# codec call dispatching to the REAL chip (this process's default
+# backend), byte-compared against the host-side truth at each step
+storage.encode_file(src, out)
+print("STORAGE-ENCODE: OK")
+
+edit = bytes(rng.integers(0, 256, 2000, dtype=np.uint16).astype(np.uint8))
+off = 2 * 4096 - 50
+payload[off: off + len(edit)] = edit
+assert storage.update_file(out, off, edit) >= 1
+print("STORAGE-UPDATE: OK")
+
+# degrade: drop a data block covering the read window and some parity
+(out / "block_00000.dat").unlink()
+(out / "block_00002.par").unlink()
+got = storage.read_file(out, 100, 5000)
+assert got == bytes(payload[100:5100]), "degraded ranged read mismatch"
+rd = storage.Reader(out)
+assert rd.read(0, 4096) == bytes(payload[:4096]), "Reader mismatch"
+print("STORAGE-DEGRADED-READ: OK")
+
+dst = tmp / "recovered.bin"
+storage.recover_file(out, dst)
+assert dst.read_bytes() == bytes(payload), "recover mismatch"
+print("STORAGE-RECOVER: OK")
+print("TPU-STORAGE-PASS")
+"""
+
+
+def test_storage_lifecycle_on_chip():
+    """Round-3's flagship serving layer had zero on-chip coverage
+    (round-4 verdict directive 5): one encode -> update_file ->
+    degraded read_file/Reader -> recover_file lifecycle where every
+    codec dispatch hits the real chip, byte-compared against host
+    truth. Opt-in like the kernel tier (a handful of remote compiles,
+    ~2-4 min)."""
+    env = os.environ.copy()
+    env["PYTHONPATH"] = (str(REPO) + os.pathsep
+                         + env.get("PYTHONPATH", "")).rstrip(os.pathsep)
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    proc = subprocess.run([sys.executable, "-c", _STORAGE_SCRIPT],
+                          capture_output=True, text=True, timeout=1500,
+                          env=env, cwd=str(REPO))
+    if proc.returncode == 42:
+        pytest.skip(f"no TPU answers: {proc.stdout.strip()}")
+    assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
+    assert "TPU-STORAGE-PASS" in proc.stdout, proc.stdout
