@@ -879,29 +879,20 @@ def _seam_kernel_wire16(tw_r1_ref, w3_r1_ref, tw_c2_ref, w3_c2_ref,
     ohi_ref[:] = y[..., tl:]
 
 
-@functools.lru_cache(maxsize=None)
-def _bitmap_group_matrix(tl: int):
-    """[tl, tl/8] f32 0/1 matrix G[l, t] = (l // 8 == t): contracting the
-    per-column escape-bit words against it sums each 8-column group —
-    the in-kernel lane-axis group reduction, done on the MXU. (Mosaic
-    supports neither unsigned reductions nor minor-dim-splitting
-    reshapes, so the VPU formulations of this reduction do not lower;
-    the summands are disjoint bit patterns < 2^16, so an f32 matmul is
-    exact and sum == bitwise-or.)"""
-    g = np.zeros((tl, tl // 8), np.float32)
-    g[np.arange(tl), np.arange(tl) // 8] = 1.0
-    return g
-
-
-def _row_kernel_wire16(tw_ref, w3_ref, gmat_ref, lo_ref, hi_ref,
-                       stored_ref, bm_ref, *, field: FieldSpec, r: int,
+def _row_kernel_wire16(tw_ref, w3_ref, lo_ref, hi_ref,
+                       stored_ref, esc_ref, *, field: FieldSpec, r: int,
                        radix: int):
     """Pass B2 with the GF16 parity serialization fused into the
     epilogue: stored u16 wire words re-packed as little-endian u32 pairs
     (truncation stores 0x10000 as 0, exactly packing.serialize_parity's
-    escape rule) plus the escape bitmap — one 16-bit word per 16
-    consecutive wire words, bit j <-> wire word 16t+j — as a second
-    output (one u32 lane per bitmap word; values < 2^16)."""
+    escape rule) plus a full-width per-u32-column escape WORD array —
+    column q contributes bits 2*(q%8) (lo half) and 2*(q%8)+1 (hi half),
+    so an 8-column group-sum outside the kernel yields the wire escape
+    bitmap. (The group reduction itself cannot live here at the fast
+    tile size: a [*, TL/8] output block would violate Mosaic's 128-lane
+    output-block minimum, and forcing TL=1024 to satisfy it measured
+    36.7 vs 61 wire GB/s — tools/onchip_r4b.log — so the 8:1 compaction
+    rides a plain XLA reduce over the esc array instead.)"""
     y = jnp.concatenate([lo_ref[:], hi_ref[:]], axis=-1)  # [r, TR, 2*TL]
     y = _ntt_stages(y, field, tw_ref[:], r,
                     w3_ref[:] if radix == 4 else None)
@@ -914,29 +905,12 @@ def _row_kernel_wire16(tw_ref, w3_ref, gmat_ref, lo_ref, hi_ref,
     esc_lo = lo >> jnp.uint32(16)
     esc_hi = hi >> jnp.uint32(16)
     # wire word 2q+b (q = u32 column, b = half) maps to bitmap word
-    # q // 8, bit 2*(q % 8) + b; disjoint bit positions per column in the
-    # group, so the MXU group-sum below equals the bitwise-or
+    # q // 8, bit 2*(q % 8) + b; disjoint bit positions per column within
+    # a group, so the group-sum equals the bitwise-or (TL % 8 == 0, so
+    # the in-tile lane index is congruent to the global column mod 8)
     u = jax.lax.broadcasted_iota(jnp.uint32, lo.shape, 2) % jnp.uint32(8)
-    w = (esc_lo << (jnp.uint32(2) * u)) | (
+    esc_ref[:] = (esc_lo << (jnp.uint32(2) * u)) | (
         esc_hi << (jnp.uint32(2) * u + jnp.uint32(1)))
-    rows = w.shape[0] * w.shape[1]
-    wf = w.astype(jnp.float32).reshape(rows, tl)
-    bm = jnp.dot(wf, gmat_ref[:], preferred_element_type=jnp.float32)
-    bm_ref[:] = bm.reshape(w.shape[0], w.shape[1],
-                           tl // 8).astype(jnp.uint32)
-
-
-def _wire16_b2_tile(wu: int) -> int | None:
-    """Pass B2's lane tile: the escape-bitmap output block is TL/8 lanes
-    wide, and Mosaic requires output block minor dims to be multiples of
-    128 (or the full array dim) — so B2 runs 1024-column lane tiles
-    (bitmap blocks of exactly 128), or the whole lane axis at once for
-    small blocks. Returns None when neither division works."""
-    if wu % 1024 == 0:
-        return 1024
-    if wu <= 1024 and wu % 128 == 0:
-        return wu                       # full-array block: always legal
-    return None
 
 
 def _wire16_supported(k: int, wu: int) -> bool:
@@ -946,7 +920,7 @@ def _wire16_supported(k: int, wu: int) -> bool:
     tr, tl = _tile_for(c1, r1, wu)
     return (PAIR_ENABLED and c1 >= tr and r1 >= tr and r1 % tr == 0
             and c1 % tr == 0 and wu % tl == 0 and tl % 8 == 0
-            and _wire16_b2_tile(wu) is not None)
+            and wu % 8 == 0)
 
 
 def ntt_coset_pair_wire16_pallas(x_pairs, field: FieldSpec, pre_seed: int,
@@ -969,12 +943,8 @@ def ntt_coset_pair_wire16_pallas(x_pairs, field: FieldSpec, pre_seed: int,
     assert c1 * r1 == k and r1 % tr == 0 and c1 % tr == 0, (
         f"wire pair needs tr|C1, tr|R1 (k={k} -> C1={c1}, R1={r1}, "
         f"tr={tr})")
-    assert wu % tl == 0 and tl % 8 == 0, (
-        f"wire pair needs TL|Wu and 8|TL (Wu={wu}, TL={tl})")
-    tlb = _wire16_b2_tile(wu)
-    assert tlb is not None, (
-        f"wire pair needs 1024|Wu or Wu <= 1024 with 128|Wu for the "
-        f"bitmap output blocks (Wu={wu})")
+    assert wu % tl == 0 and tl % 8 == 0 and wu % 8 == 0, (
+        f"wire pair needs TL|Wu, 8|TL, 8|Wu (Wu={wu}, TL={tl})")
 
     inv, fwd = True, False
     tw_c1 = jnp.asarray(_packed_stage_twiddles(field.name, c1, inv))[:, None]
@@ -1070,34 +1040,37 @@ def ntt_coset_pair_wire16_pallas(x_pairs, field: FieldSpec, pre_seed: int,
       jnp.asarray(pcol2)[:, None], jnp.asarray(prow2), lo1, hi1)
 
     # pass B2: rows of transform 2 + fused serialization epilogue
-    stored, bm = pl.pallas_call(
+    stored, esc = pl.pallas_call(
         functools.partial(_row_kernel_wire16, field=field, r=r2,
                           radix=radix),
-        grid=(c2 // tr, wu // tlb),
+        grid=(c2 // tr, wu // tl),
         in_specs=[
             pl.BlockSpec((r2, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r2, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tlb, tlb // 8), lambda i, j: (0, 0),
+            pl.BlockSpec((r2, tr, tl), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r2, tr, tlb), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r2, tr, tlb), lambda i, j: (0, i, j),
+            pl.BlockSpec((r2, tr, tl), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((r2, tr, tlb), lambda i, j: (0, i, j),
+            pl.BlockSpec((r2, tr, tl), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r2, tr, tlb // 8), lambda i, j: (0, i, j),
+            pl.BlockSpec((r2, tr, tl), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((r2, c2, wu), jnp.uint32),
-            jax.ShapeDtypeStruct((r2, c2, wu // 8), jnp.uint32),
+            jax.ShapeDtypeStruct((r2, c2, wu), jnp.uint32),
         ),
         compiler_params=cparams,
         interpret=interpret,
-    )(tw_r2, w3_r2, jnp.asarray(_bitmap_group_matrix(tlb)), lo2, hi2)
+    )(tw_r2, w3_r2, lo2, hi2)
 
-    return stored.reshape(k, wu), bm.reshape(k, wu // 8)
+    # 8:1 group compaction of the per-column escape words into the wire
+    # bitmap (disjoint bit patterns per group -> sum == bitwise-or); a
+    # plain XLA reduce, see _row_kernel_wire16's docstring for why it
+    # does not live in the kernel
+    bm = esc.reshape(k, wu // 8, 8).sum(axis=-1, dtype=jnp.uint32)
+    return stored.reshape(k, wu), bm
