@@ -918,9 +918,10 @@ def _wire16_supported(k: int, wu: int) -> bool:
     c1 = _pair_default_c(k)
     r1 = k // c1
     tr, tl = _tile_for(c1, r1, wu)
+    # (wu % tl == 0 and tl % 8 == 0 already imply wu % 8 == 0, the
+    # bitmap's group size)
     return (PAIR_ENABLED and c1 >= tr and r1 >= tr and r1 % tr == 0
-            and c1 % tr == 0 and wu % tl == 0 and tl % 8 == 0
-            and wu % 8 == 0)
+            and c1 % tr == 0 and wu % tl == 0 and tl % 8 == 0)
 
 
 def ntt_coset_pair_wire16_pallas(x_pairs, field: FieldSpec, pre_seed: int,
@@ -943,8 +944,8 @@ def ntt_coset_pair_wire16_pallas(x_pairs, field: FieldSpec, pre_seed: int,
     assert c1 * r1 == k and r1 % tr == 0 and c1 % tr == 0, (
         f"wire pair needs tr|C1, tr|R1 (k={k} -> C1={c1}, R1={r1}, "
         f"tr={tr})")
-    assert wu % tl == 0 and tl % 8 == 0 and wu % 8 == 0, (
-        f"wire pair needs TL|Wu, 8|TL, 8|Wu (Wu={wu}, TL={tl})")
+    assert wu % tl == 0 and tl % 8 == 0, (   # together these give 8|Wu
+        f"wire pair needs TL|Wu, 8|TL (Wu={wu}, TL={tl})")
 
     inv, fwd = True, False
     tw_c1 = jnp.asarray(_packed_stage_twiddles(field.name, c1, inv))[:, None]

@@ -115,9 +115,17 @@ def _run_controllers(tmp_path, nprocs: int, local_devs: int,
                  stderr=subprocess.STDOUT, text=True)
              for i in range(nprocs)]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=550)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=550)
+            outs.append(out)
+    finally:
+        # a timeout on one proc must not orphan the rest (they hold the
+        # coordinator port and would poison later runs)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i}: OK" in out

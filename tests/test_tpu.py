@@ -100,6 +100,31 @@ pa, pb = pair(jnp.asarray(cw))
 np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 print("SEAM-PAIR: OK")
 
+# product wire path on the chip (round-5 directive 1): encode_blocks'
+# GF16-on-TPU fused branch (the rs.py backend gate takes it in THIS
+# process) and the GF32 generic pipeline, byte-compared against the
+# field-domain pipeline + serializer; plus the host assembler
+# (wire_gf16_from_parts) on REAL device arrays — the round-4 production
+# crash was np.asarray returning transposed strides here, which no CPU
+# run can reproduce.
+from fastecc_tpu import packing
+kb, bb = 1 << 9, 4096
+raw = rng.integers(0, 256, size=(kb, bb), dtype=np.uint16).astype(np.uint8)
+rawj = jnp.asarray(raw)
+for field in (GF16, GF32):
+    got = np.asarray(rs.encode_blocks_jit(rawj, field, 2 * kb))
+    want = np.asarray(packing.serialize_parity(
+        rs.encode_parity_jit(packing.pack_data(rawj, field), field,
+                             2 * kb), field))
+    np.testing.assert_array_equal(got, want)
+    print(f"ENCODE-BLOCKS-{field.name}: OK")
+stored, bm = rs.encode_blocks_gf16_parts_jit(
+    packing._bytes_to_u32(rawj, 4), 2 * kb)
+np.testing.assert_array_equal(
+    rs.wire_gf16_from_parts(stored, bm),
+    np.asarray(rs.encode_blocks_jit(rawj, GF16, 2 * kb)))
+print("WIRE-FROM-PARTS: OK")
+
 # shard_map-wrapped local transform on a real-chip mesh
 from fastecc_tpu.parallel import make_mesh
 from fastecc_tpu.parallel.ntt_dist import ntt_sharded_jit
