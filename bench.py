@@ -232,9 +232,11 @@ def run_gf16_wire_metric(iters: int):
     B=65536 bytes = 2^15 wire words). Uses the parts form
     (encode_blocks_gf16_parts): pack fused into pass A1, serialization
     into pass B2 — the wire pipeline moves LESS HBM than the
-    field-domain one, so this number should sit ABOVE the field marginal
-    (roofline: utils/profiling.encode_blocks_roofline). Wire GB/s counts
-    codeword wire bytes n * B."""
+    field-domain one (20.75 vs 24 bytes/wire-word) at ~6 extra VPU
+    ops/word, so at this compute-bound shape it should land AT OR NEAR
+    the field marginal, not below it as in round 4 (roofline:
+    utils/profiling.encode_blocks_roofline). Wire GB/s counts codeword
+    wire bytes n * B."""
     from fastecc_tpu import rs
 
     k, block_bytes = 1 << 13, 1 << 16

@@ -53,10 +53,15 @@ _GRID_SEMANTICS: tuple | None = (
     else ("parallel", "parallel"))
 
 
-def _cparams() -> "pltpu.CompilerParams":
+def _cparams(semantics: tuple | None = None) -> "pltpu.CompilerParams":
+    """``semantics`` overrides the default grid semantics for passes that
+    REQUIRE a sequential axis (the wire pair's pass B2 revisits its
+    bitmap output block across the lane grid, so that axis must be
+    "arbitrary"). Under FASTECC_GRID_ARBITRARY everything is already
+    sequential and the override is moot."""
     kw: dict = {"vmem_limit_bytes": 100 * 1024 * 1024}
     if _GRID_SEMANTICS is not None:
-        kw["dimension_semantics"] = _GRID_SEMANTICS
+        kw["dimension_semantics"] = semantics or _GRID_SEMANTICS
     return pltpu.CompilerParams(**kw)
 
 
@@ -816,7 +821,9 @@ def ntt_coset_pair_pallas(x, field: FieldSpec, pre_seed: int,
 # bitmap) that no kernel fused and no roofline row priced. Fusing both
 # into the pair does better than erase the overhead: wire IO is 2
 # bytes/word where field IO is 4, so the fused wire pipeline moves LESS
-# HBM than the field-domain one (20.25 vs 24 bytes/wire-word).
+# HBM than the field-domain one (20.75 vs 24 bytes/wire-word — priced
+# in utils/profiling.encode_blocks_roofline, incl. the bitmap
+# transpose; the epilogues add ~6 VPU ops/word, also priced).
 #
 # Layout: the [k, B] byte blocks are viewed as [k, Wu] uint32 PAIRS of
 # little-endian uint16 wire words (Wu = B/4; free reinterpretation of
@@ -844,17 +851,21 @@ def _col_kernel_wire16(tw_ref, w3_ref, seed_ref, t0_ref, x_ref, lo_ref,
     field lanes happens in VMEM (wire data words are all < p: no
     escaping on the data side — packing.py)."""
     x32 = x_ref[:]                                       # [c, TR, TL]
-    y = jnp.concatenate(
-        [x32 & jnp.uint32(0xFFFF), x32 >> jnp.uint32(16)],
-        axis=-1)                                         # [c, TR, 2*TL]
-    y = _ntt_stages(y, field, tw_ref[:], c,
-                    w3_ref[:] if radix == 4 else None)
-    y = mul_prepared(field, y, _col_twiddle_tile(seed_ref, t0_ref,
-                                                 field)[:, :, None])
-    y = jnp.transpose(y, (1, 0, 2))                      # [TR, c, 2*TL]
-    tl = x32.shape[2]
-    lo_ref[:] = y[..., :tl]
-    hi_ref[:] = y[..., tl:]
+    tw_tile = _col_twiddle_tile(seed_ref, t0_ref, field)[:, :, None]
+    w3 = w3_ref[:] if radix == 4 else None
+
+    def run(y):
+        y = _ntt_stages(y, field, tw_ref[:], c, w3)
+        y = mul_prepared(field, y, tw_tile)
+        return jnp.transpose(y, (1, 0, 2))               # [TR, c, TL]
+
+    # lo/hi halves run as two SEPARATE stage pipelines: lanes are
+    # independent, and a lane-axis concatenate/split is a real VMEM
+    # relayout copy Mosaic charges for at every pass (the round-4
+    # kernels concatenated to [*, 2*TL] and measured ~2x their bound;
+    # tools/onchip_r5.log)
+    lo_ref[:] = run(x32 & jnp.uint32(0xFFFF))
+    hi_ref[:] = run(x32 >> jnp.uint32(16))
 
 
 def _seam_kernel_wire16(tw_r1_ref, w3_r1_ref, tw_c2_ref, w3_c2_ref,
@@ -862,55 +873,82 @@ def _seam_kernel_wire16(tw_r1_ref, w3_r1_ref, tw_c2_ref, w3_c2_ref,
                         hi_ref, olo_ref, ohi_ref, *, field: FieldSpec,
                         r1: int, radix: int):
     """The seam (B1 + coset multiply + A2) over the split lo/hi lane
-    arrays: one concatenate in, one split out, same math as
+    arrays, run as two separate stage pipelines (lane concatenation is a
+    paid VMEM relayout — see _col_kernel_wire16); same math as
     :func:`_seam_kernel`."""
-    y = jnp.concatenate([lo_ref[:], hi_ref[:]], axis=-1)  # [r1, TR, 2*TL]
-    y = _ntt_stages(y, field, tw_r1_ref[:], r1,
-                    w3_r1_ref[:] if radix == 4 else None)
-    pre = mul_prepared(field, pcol2_ref[:], prow2_ref[0])
-    y = mul_prepared(field, y, pre[:, :, None])
-    y = _ntt_stages(y, field, tw_c2_ref[:], r1,
-                    w3_c2_ref[:] if radix == 4 else None)
-    y = mul_prepared(field, y, _col_twiddle_tile(seed2_ref, t02_ref,
-                                                 field)[:, :, None])
-    y = jnp.transpose(y, (1, 0, 2))
-    tl = lo_ref.shape[2]
-    olo_ref[:] = y[..., :tl]
-    ohi_ref[:] = y[..., tl:]
+    pre = mul_prepared(field, pcol2_ref[:], prow2_ref[0])[:, :, None]
+    tw_tile = _col_twiddle_tile(seed2_ref, t02_ref, field)[:, :, None]
+    w3_r1 = w3_r1_ref[:] if radix == 4 else None
+    w3_c2 = w3_c2_ref[:] if radix == 4 else None
+
+    def run(y):
+        y = _ntt_stages(y, field, tw_r1_ref[:], r1, w3_r1)
+        y = mul_prepared(field, y, pre)
+        y = _ntt_stages(y, field, tw_c2_ref[:], r1, w3_c2)
+        y = mul_prepared(field, y, tw_tile)
+        return jnp.transpose(y, (1, 0, 2))
+
+    olo_ref[:] = run(lo_ref[:])
+    ohi_ref[:] = run(hi_ref[:])
 
 
 def _row_kernel_wire16(tw_ref, w3_ref, lo_ref, hi_ref,
-                       stored_ref, esc_ref, *, field: FieldSpec, r: int,
+                       stored_ref, bm_ref, *, field: FieldSpec, r: int,
                        radix: int):
     """Pass B2 with the GF16 parity serialization fused into the
     epilogue: stored u16 wire words re-packed as little-endian u32 pairs
     (truncation stores 0x10000 as 0, exactly packing.serialize_parity's
-    escape rule) plus a full-width per-u32-column escape WORD array —
-    column q contributes bits 2*(q%8) (lo half) and 2*(q%8)+1 (hi half),
-    so an 8-column group-sum outside the kernel yields the wire escape
-    bitmap. (The group reduction itself cannot live here at the fast
-    tile size: a [*, TL/8] output block would violate Mosaic's 128-lane
-    output-block minimum, and forcing TL=1024 to satisfy it measured
-    36.7 vs 61 wire GB/s — tools/onchip_r4b.log — so the 8:1 compaction
-    rides a plain XLA reduce over the esc array instead.)"""
-    y = jnp.concatenate([lo_ref[:], hi_ref[:]], axis=-1)  # [r, TR, 2*TL]
-    y = _ntt_stages(y, field, tw_ref[:], r,
-                    w3_ref[:] if radix == 4 else None)
+    escape rule) plus the wire escape BITMAP, compacted in-kernel —
+    column q contributes bits 2*(q%8) (lo half) and 2*(q%8)+1 (hi half)
+    of bitmap word q//8; the bit positions are disjoint per column
+    within a group, so the 8:1 group-sum equals the bitwise-or.
+
+    The bitmap leaves the kernel in a TRANSPOSED layout
+    bm_t[j, r, c2_tile, TL/8] — each grid step writes a distinct block
+    whose lane width TL/8 is the array's FULL minor dimension, which
+    sidesteps Mosaic's 128-lane minimum for PARTITIONED lane blocks;
+    one tiny XLA transpose outside (over the bitmap only, 1/8 of the
+    data = +0.5 HBM bytes/wire-word) reassembles packing.py's pinned
+    [k, Wu/8] order. Round 4 instead wrote a full-width [k, Wu] u32
+    escape intermediate that a separate XLA reduce re-read — 4 unpriced
+    HBM bytes/wire-word that made the fused pair measurably SLOWER than
+    the field path it was meant to beat (round-4 verdict weak #2).
+    (Two direct forms failed Mosaic lowering and are logged in
+    tools/onchip_r5.log: a revisited full-width block needs a dynamic
+    sub-128-lane vector_store, and partitioned [*, TL/8] blocks hit the
+    128-lane output minimum.)"""
+    w3 = w3_ref[:] if radix == 4 else None
+    lo = _ntt_stages(lo_ref[:], field, tw_ref[:], r, w3)
+    hi = _ntt_stages(hi_ref[:], field, tw_ref[:], r, w3)
     tl = lo_ref.shape[2]
-    lo, hi = y[..., :tl], y[..., tl:]
     m16 = jnp.uint32(0xFFFF)
     stored_ref[:] = (lo & m16) | ((hi & m16) << jnp.uint32(16))
     # escape indicator: GF16 values lie in [0, 0x10000], so bit 16 IS the
-    # escape flag (set only for 0x10000)
-    esc_lo = lo >> jnp.uint32(16)
-    esc_hi = hi >> jnp.uint32(16)
-    # wire word 2q+b (q = u32 column, b = half) maps to bitmap word
-    # q // 8, bit 2*(q % 8) + b; disjoint bit positions per column within
-    # a group, so the group-sum equals the bitwise-or (TL % 8 == 0, so
-    # the in-tile lane index is congruent to the global column mod 8)
-    u = jax.lax.broadcasted_iota(jnp.uint32, lo.shape, 2) % jnp.uint32(8)
-    esc_ref[:] = (esc_lo << (jnp.uint32(2) * u)) | (
-        esc_hi << (jnp.uint32(2) * u + jnp.uint32(1)))
+    # escape flag (set only for 0x10000); esc2 packs both halves' flags
+    # as 0..3
+    esc2 = (lo >> jnp.uint32(16)) + jnp.uint32(2) * (hi >> jnp.uint32(16))
+    tl8 = tl // 8
+    # The 8:1 lane-group compaction is a relayout Mosaic's VPU path
+    # rejects (no unsigned reductions; lane-splitting reshape =
+    # "unsupported shape cast") — but it IS a matmul, and the MXU is
+    # idle in this kernel: bitmap word g = sum_t esc2[8g+t] * 4^t.
+    # EXACTNESS: if the f32 matmul lowers through bf16 passes, both
+    # operands must be bf16-representable — esc2 is 0..3 and the weight
+    # matrix holds powers of two, every product is exact in f32, and the
+    # disjoint-bit sum stays < 2^16. (A plain 0/1 selection matrix over
+    # pre-composed 16-bit escape words would NOT be safe: 0xFFFF has no
+    # bf16 representation.) u32<->f32 casts are unsupported in Mosaic,
+    # so the hops go through i32. TL % 8 == 0 keeps the in-tile lane
+    # index congruent to the global column mod 8.
+    e2 = esc2.reshape(esc2.shape[0] * esc2.shape[1], tl)  # leading: free
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (tl, tl8), 0)
+    g_idx = jax.lax.broadcasted_iota(jnp.int32, (tl, tl8), 1)
+    pw = (jnp.int32(1) << (jnp.int32(2) * (t_idx % 8))).astype(jnp.float32)
+    sel = jnp.where(t_idx // 8 == g_idx, pw, jnp.float32(0))
+    grp = jnp.dot(e2.astype(jnp.int32).astype(jnp.float32), sel,
+                  preferred_element_type=jnp.float32).astype(
+                      jnp.int32).astype(jnp.uint32)
+    bm_ref[:] = grp.reshape(1, esc2.shape[0], esc2.shape[1], tl8)
 
 
 def _wire16_supported(k: int, wu: int) -> bool:
@@ -954,8 +992,6 @@ def ntt_coset_pair_wire16_pallas(x_pairs, field: FieldSpec, pre_seed: int,
     w3_r1 = jnp.asarray(_packed_w3_twiddles(field.name, r1, inv))[:, None]
     tw_c2 = jnp.asarray(_packed_stage_twiddles(field.name, c2, fwd))[:, None]
     w3_c2 = jnp.asarray(_packed_w3_twiddles(field.name, c2, fwd))[:, None]
-    tw_r2 = jnp.asarray(_packed_stage_twiddles(field.name, r2, fwd))[:, None]
-    w3_r2 = jnp.asarray(_packed_w3_twiddles(field.name, r2, fwd))[:, None]
     seed1, t01 = _colpass_seeds(field.name, k, c1, inv, True, tr)
     seed1 = jnp.asarray(seed1)
     t01 = jnp.asarray(t01).reshape(r1 // tr, c1, 1)
@@ -1040,8 +1076,32 @@ def ntt_coset_pair_wire16_pallas(x_pairs, field: FieldSpec, pre_seed: int,
     )(tw_r1, w3_r1, tw_c2, w3_c2, seed2, t02,
       jnp.asarray(pcol2)[:, None], jnp.asarray(prow2), lo1, hi1)
 
-    # pass B2: rows of transform 2 + fused serialization epilogue
-    stored, esc = pl.pallas_call(
+    return wire16_pass_b2(lo2, hi2, field, radix=radix, tile=(tr, tl),
+                          interpret=interpret)
+
+
+def wire16_pass_b2(lo2, hi2, field: FieldSpec, radix: int = 4,
+                   tile: tuple[int, int] | None = None,
+                   interpret: bool = False):
+    """Pass B2 of the wire pair, callable standalone: rows of transform
+    2 over the split lo/hi [r2, c2, wu] intermediates + the fused
+    serialization epilogue. Exposed so tests can drive the escape
+    bitmap with ADVERSARIAL inputs (dense multi-bit escape groups are
+    astronomically rare through the full pipeline on random data, but
+    they are exactly what the MXU compaction's bf16-exactness argument
+    must survive — see _row_kernel_wire16). Returns
+    (stored [k, wu] u32, bitmap [k, wu/8] u32)."""
+    r2, c2, wu = lo2.shape
+    k = r2 * c2
+    tr, tl = tile or _tile_for(c2, r2, wu)
+    tw_r2 = jnp.asarray(
+        _packed_stage_twiddles(field.name, r2, False))[:, None]
+    w3_r2 = jnp.asarray(_packed_w3_twiddles(field.name, r2, False))[:, None]
+    # the bitmap is emitted in the transposed bm_t layout (each step's
+    # block is full-minor-width — see _row_kernel_wire16) and
+    # reassembled by one XLA transpose over the bitmap only
+    tl8 = tl // 8
+    stored, bm_t = pl.pallas_call(
         functools.partial(_row_kernel_wire16, field=field, r=r2,
                           radix=radix),
         grid=(c2 // tr, wu // tl),
@@ -1058,20 +1118,17 @@ def ntt_coset_pair_wire16_pallas(x_pairs, field: FieldSpec, pre_seed: int,
         out_specs=(
             pl.BlockSpec((r2, tr, tl), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r2, tr, tl), lambda i, j: (0, i, j),
+            pl.BlockSpec((1, r2, tr, tl8), lambda i, j: (j, 0, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((r2, c2, wu), jnp.uint32),
-            jax.ShapeDtypeStruct((r2, c2, wu), jnp.uint32),
+            jax.ShapeDtypeStruct((wu // tl, r2, c2, tl8), jnp.uint32),
         ),
-        compiler_params=cparams,
+        compiler_params=_cparams(),
         interpret=interpret,
     )(tw_r2, w3_r2, lo2, hi2)
 
-    # 8:1 group compaction of the per-column escape words into the wire
-    # bitmap (disjoint bit patterns per group -> sum == bitwise-or); a
-    # plain XLA reduce, see _row_kernel_wire16's docstring for why it
-    # does not live in the kernel
-    bm = esc.reshape(k, wu // 8, 8).sum(axis=-1, dtype=jnp.uint32)
+    # bitmap word g = j*TL/8 + gg of row k = r2_idx*c2 + c2_idx
+    bm = jnp.moveaxis(bm_t, 0, 2).reshape(k, wu // 8)
     return stored.reshape(k, wu), bm

@@ -448,9 +448,10 @@ def encode_blocks_gf16_parts(raw_pairs, n: int | None = None,
     final [k, parity_bytes] wire bytes on the host with zero device
     passes. The whole pipeline is THREE fused Pallas passes with pack
     and serialize riding the prologue/epilogue
-    (kernels/ntt_mfa.ntt_coset_pair_wire16_pallas): 20.25 HBM
+    (kernels/ntt_mfa.ntt_coset_pair_wire16_pallas): 20.75 HBM
     bytes/wire-word vs the field-domain path's 24 and the unfused wire
-    path's 36.25 (utils/profiling.encode_blocks_roofline prices all
+    path's 36.25, at ~6 extra VPU ops/word for the split/re-pack/escape
+    epilogues (utils/profiling.encode_blocks_roofline prices all
     three)."""
     from .fields import GF16
     from .kernels import ntt_mfa

@@ -125,6 +125,20 @@ np.testing.assert_array_equal(
     np.asarray(rs.encode_blocks_jit(rawj, GF16, 2 * kb)))
 print("WIRE-FROM-PARTS: OK")
 
+# adversarial escape density through the COMPILED bitmap compaction
+# (the MXU matmul path — its bf16-exactness argument needs saturated
+# 0xFFFF groups, unreachable via random full-pipeline data)
+import sys as _sys
+_sys.path.insert(0, "tests")
+from test_pallas import _dense_escape_b2_case
+from fastecc_tpu.kernels.ntt_mfa import wire16_pass_b2
+lo2, hi2, st_want, bm_want = _dense_escape_b2_case(16, 16, 256)
+std, bmd = jax.jit(lambda a, b: wire16_pass_b2(a, b, GF16))(
+    jnp.asarray(lo2), jnp.asarray(hi2))
+np.testing.assert_array_equal(np.asarray(std), st_want)
+np.testing.assert_array_equal(np.asarray(bmd), bm_want)
+print("WIRE-B2-DENSE-ESCAPES: OK")
+
 # shard_map-wrapped local transform on a real-chip mesh
 from fastecc_tpu.parallel import make_mesh
 from fastecc_tpu.parallel.ntt_dist import ntt_sharded_jit
