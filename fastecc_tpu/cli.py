@@ -33,6 +33,7 @@ from __future__ import annotations
 import argparse
 import contextlib
 import json
+import os
 import pathlib
 import sys
 
@@ -683,12 +684,178 @@ def cmd_roofline(args):
     return 0
 
 
+_MULTIPROC_WORKER = r'''
+import json, os, sys
+proc_id = int(sys.argv[1]); port = sys.argv[2]
+nprocs = int(sys.argv[3]); mesh_coeff = int(sys.argv[4])
+mesh_block = int(sys.argv[5]); lg_n = int(sys.argv[6])
+lanes = int(sys.argv[7]); field_name = sys.argv[8]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=nprocs, process_id=proc_id)
+import numpy as np, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from fastecc_tpu import rs
+from fastecc_tpu.fields import FIELDS
+from fastecc_tpu.decode import prepare_decode_tables
+from fastecc_tpu.parallel import make_mesh
+from fastecc_tpu.parallel.ntt_dist import (decode_prepared_sharded_jit,
+                                           encode_parity_sharded_jit,
+                                           ntt_sharded, ntt_sharded_jit)
+from fastecc_tpu.utils.timer import time_fn
+field = FIELDS[field_name]
+mesh = make_mesh(mesh_coeff, mesh_block)
+n = 1 << lg_n; k = n // 2
+rng = np.random.default_rng(0)
+x = rng.integers(0, field.p, (n, lanes), dtype=np.uint64).astype(np.uint32)
+sh = NamedSharding(mesh, P("coeff", "block"))
+vsh = NamedSharding(mesh, P("coeff"))
+mk = lambda a, spec: jax.make_array_from_callback(a.shape, spec,
+                                                  lambda i: a[i])
+xg, dg = mk(x, sh), mk(x[:k], sh)
+phases, a2a = {}, {}
+phases["ntt_s"] = time_fn(lambda v: ntt_sharded_jit(v, field, mesh), xg,
+                          iters=2)
+a2a["ntt"] = jax.jit(lambda v: ntt_sharded(v, field, mesh)).lower(
+    xg).as_text().count("all_to_all")
+phases["encode_s"] = time_fn(
+    lambda v: encode_parity_sharded_jit(v, field, mesh, n), dg, iters=2)
+a2a["encode"] = encode_parity_sharded_jit.lower(
+    dg, field, mesh, n).as_text().count("all_to_all")
+par = encode_parity_sharded_jit(dg, field, mesh, n)
+pw = np.asarray(rs.encode_parity_jit(jnp.asarray(x[:k]), field, n))
+bit_exact = all((np.asarray(s.data) == pw[s.index]).all()
+                for s in par.addressable_shards)
+cw = np.asarray(rs.encode_jit(jnp.asarray(x[:k]), field, n))
+erased = np.sort(rng.choice(n, size=k, replace=False))
+garbled = cw.copy()
+garbled[erased] = 0
+mask, lp, ip = (np.asarray(t) for t in prepare_decode_tables(
+    erased, n, field, locator="host"))
+cg, mg, lg, ig = mk(garbled, sh), mk(mask, vsh), mk(lp, vsh), mk(ip, vsh)
+phases["decode_s"] = time_fn(
+    lambda c: decode_prepared_sharded_jit(c, mg, lg, ig, field, mesh),
+    cg, iters=2)
+a2a["decode"] = decode_prepared_sharded_jit.lower(
+    cg, mg, lg, ig, field, mesh).as_text().count("all_to_all")
+out = decode_prepared_sharded_jit(cg, mg, lg, ig, field, mesh)
+bit_exact = bit_exact and all(
+    (np.asarray(s.data) == cw[s.index]).all()
+    for s in out.addressable_shards)
+if proc_id == 0:
+    print("SCALEROW " + json.dumps({
+        "phases": {kk: round(v, 4) for kk, v in phases.items()},
+        "all_to_all": a2a, "bit_exact": bool(bit_exact),
+        "process_count": nprocs, "devices": jax.device_count()}))
+print(f"proc {proc_id}: OK")
+'''
+
+
+def _append_baseline_scaling_row(path, row):
+    """Append one virtual-tagged structural row to BASELINE.md (round-5
+    verdict directive 7): config :11 readiness stays continuously
+    exercised AND visible, instead of only green in CI."""
+    import datetime
+    import subprocess
+    header = "## Multihost structural proxies (virtual — NOT perf data)"
+    commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                            capture_output=True, text=True,
+                            cwd=pathlib.Path(path).resolve().parent
+                            ).stdout.strip() or "?"
+    ph, a2a = row["phases"], row["all_to_all"]
+    line = (f"- {datetime.date.today()} ({commit}): "
+            f"{row['process_count']}-process {row['mesh']} Gloo mesh, "
+            f"{row['field']} n=2^{row['lg_n']}: all_to_all per program "
+            f"ntt/encode/decode = {a2a['ntt']}/{a2a['encode']}/"
+            f"{a2a['decode']}; phase walls ntt {ph['ntt_s']} s, "
+            f"encode {ph['encode_s']} s, decode {ph['decode_s']} s; "
+            f"bit-exact vs single-process: {row['bit_exact']}. "
+            f"Virtual CPU devices over Gloo — structural readiness for "
+            f"[BASELINE] config :11, not a throughput row.\n")
+    p = pathlib.Path(path)
+    text = p.read_text() if p.exists() else "# BASELINE\n"
+    if header not in text:
+        text = text.rstrip("\n") + f"\n\n{header}\n\n"
+    else:
+        text = text.rstrip("\n") + "\n"
+    p.write_text(text + line)
+
+
+def _scaling_multiproc(args):
+    """Spawn the 4-process 2x2 (or N-process Nx1) Gloo mesh and emit ONE
+    structural scaling row: per-phase walls + all_to_all collective
+    counts + bit-exactness, tagged virtual (the multi-controller proxy
+    of tests/test_multihost.py promoted to an operator-visible
+    surface)."""
+    import socket
+    import subprocess
+    import tempfile
+
+    field = _field(args.field)
+    procs = args.procs
+    mesh_c, mesh_b = (2, 2) if procs == 4 else (procs, 1)
+    lg_n = min(args.lg_k + 1, 10)   # Gloo on one core: structural size
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    with tempfile.TemporaryDirectory() as td:
+        worker = pathlib.Path(td) / "scaling_worker.py"
+        worker.write_text(_MULTIPROC_WORKER)
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        repo = str(pathlib.Path(__file__).resolve().parent.parent)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        argv_tail = [port, str(procs), str(mesh_c), str(mesh_b),
+                     str(lg_n), str(args.lanes), field.name]
+        ps = [subprocess.Popen(
+            [sys.executable, str(worker), str(i)] + argv_tail, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+            for i in range(procs)]
+        outs = []
+        try:
+            for p in ps:
+                out, _ = p.communicate(timeout=550)
+                outs.append(out)
+        finally:
+            for p in ps:
+                if p.poll() is None:
+                    p.kill()
+                    p.communicate()
+        for i, (p, out) in enumerate(zip(ps, outs)):
+            if p.returncode != 0:
+                print(out[-3000:], file=sys.stderr)
+                print(f"worker {i} failed rc={p.returncode}",
+                      file=sys.stderr)
+                return 1
+    row = None
+    for ln in outs[0].splitlines():
+        if ln.startswith("SCALEROW "):
+            row = json.loads(ln[len("SCALEROW "):])
+    assert row is not None, "worker 0 emitted no SCALEROW"
+    row.update({"virtual": True, "transport": "gloo",
+                "mesh": f"{mesh_c}x{mesh_b}", "field": field.name,
+                "lg_n": lg_n})
+    print(json.dumps(row))
+    if args.update_baseline:
+        _append_baseline_scaling_row(args.baseline_path, row)
+    return 0
+
+
 def cmd_scaling(args):
     """Weak-scaling sweep over mesh sizes (emits BASELINE.md-style rows).
 
     On a machine without a pod this exercises the sharded path on virtual
     CPU devices (structural check, not a perf number); on a real slice the
-    same command measures true ICI scaling ([BASELINE] config :11)."""
+    same command measures true ICI scaling ([BASELINE] config :11).
+
+    ``--procs N`` switches to the multi-controller structural row: N OS
+    processes over a Gloo-backed 2x2 (N=4) or Nx1 mesh, per-phase walls
+    + all_to_all counts + bit-exactness in one virtual-tagged JSON row;
+    ``--update-baseline`` appends it to BASELINE.md."""
+    if args.procs > 1:
+        return _scaling_multiproc(args)
     # the CPU-platform device-count flag must be set before the CPU client
     # is created; harmless for real-hardware platforms
     from .utils.timer import ensure_host_device_flag
@@ -913,6 +1080,14 @@ def main(argv=None):
                         "decode at max loss; ntt-overlap = the double-"
                         "buffered collective/compute variant)")
     p.add_argument("--overlap-chunks", type=int, default=2)
+    p.add_argument("--procs", type=int, default=1,
+                   help="multi-controller structural row: spawn this "
+                        "many OS processes over a Gloo mesh (4 -> 2x2) "
+                        "instead of the in-process device sweep")
+    p.add_argument("--update-baseline", action="store_true",
+                   help="append the --procs row to BASELINE.md "
+                        "(virtual-tagged)")
+    p.add_argument("--baseline-path", default="BASELINE.md")
     p.set_defaults(fn=cmd_scaling)
 
     args = ap.parse_args(argv)

@@ -812,3 +812,39 @@ def decode_blocks(survivors: dict, n: int, k: int, field: FieldSpec,
                 full = fixed[:, :real_lanes]
     data_rows = full[data_positions(n, k)]
     return np.asarray(packing.unpack_data(data_rows, field))
+
+
+def decode_wire_parity(parity_wire, n: int, k: int, tables,
+                       field: FieldSpec):
+    """WIRE-domain steady-state decode, fully traced (SURVEY.md C12/C13
+    product path): the all-data-erased rate-1/2 serving shape —
+    [n-k, parity_bytes] uint8 wire parity in, [k, block_bytes] uint8
+    data blocks out, ONE jitted program. Deserialization, codeword
+    assembly (zeros at the erased data positions), the two fused decode
+    transforms (decode_prepared, merge=False — only erased rows are
+    consumed), the data-row gather and the byte unpack all trace
+    together, so XLA fuses the elementwise glue around the Pallas pair.
+    ``tables`` are the prepared decode tables for
+    erased = data_positions(n, k) (build once per (n, k) and amortize
+    across stripes — prepare_decode_tables_device or the host path).
+
+    Bit-exact equal to :func:`decode_blocks` over the same survivors
+    (test-enforced). This is the path bench.py's decode_wiredomain_*
+    rows measure and utils/profiling.decode_blocks_roofline prices;
+    general mixed survivor patterns go through :func:`decode_blocks`
+    (host assembly)."""
+    from .rs import _pad_lanes
+    assert n == 2 * k, "the wire parity decode is the rate-1/2 path"
+    mask, l_eval, lp_inv = tables
+    par = packing.deserialize_parity(parity_wire, field)   # [n-k, E]
+    cw = jnp.stack([jnp.zeros_like(par), par], axis=1)
+    cw = cw.reshape(n, par.shape[1])
+    padded, lanes = _pad_lanes(cw)
+    full = decode_prepared(padded, mask, l_eval, lp_inv, field,
+                           merge=False)
+    data_rows = full[::2, :lanes]
+    return packing.unpack_data(data_rows, field)
+
+
+decode_wire_parity_jit = jax.jit(decode_wire_parity,
+                                 static_argnames=("n", "k", "field"))

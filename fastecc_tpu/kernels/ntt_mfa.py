@@ -804,10 +804,262 @@ def ntt_coset_pair_pallas(x, field: FieldSpec, pre_seed: int,
     """RS-encode specialization of :func:`ntt_pair_pallas`:
     NTT_g-coset(iNTT(x)) with the coset multiply g^m as the seam's
     rank-1 middle multiply. Bit-exact vs
-    ntt_auto(ntt_auto(x, inverse=True), pre_seed=g)."""
+    ntt_auto(ntt_auto(x, inverse=True), pre_seed=g).
+
+    Small transform orders dispatch to the ONE-pass whole-transform-
+    resident form (:func:`ntt_pair_lanes_pallas`) when the full k-point
+    column fits a VMEM tile — see _pair_lanes_supported."""
+    if (c_dim is None and tile is None
+            and _pair_lanes_supported(x.shape[0], x.shape[1])):
+        return ntt_pair_lanes_pallas(x, field, pre_seed,
+                                     interpret=interpret, radix=radix)
     return ntt_pair_pallas(x, field, pre_seed2=pre_seed,
                            interpret=interpret, radix=radix, c_dim=c_dim,
                            tile=tile)
+
+
+# ---------------------------------------------------------------------------
+# ONE-pass encode pair for small transform orders (round-5 directive 3)
+# — NEGATIVE RESULT at the production shapes, kept as opt-in
+# exploration (FASTECC_LANES_PAIR=1). Dated evidence: 2026-08-20,
+# tools/onchip_r5_lanes.log.
+#
+# The idea: GF16's bench order k = 2^13 fits a whole [k, TL] column in
+# one VMEM tile (4-8 MB), so the pair could run as a SINGLE Pallas pass
+# (13 iNTT stages + the 1/k-folded coset multiply + 13 NTT stages per
+# tile; one HBM read+write for the entire encode vs 3), dissolving the
+# round-3/4 "measured ~= compute + memory SUMMED" overlap gap.
+# Bit-exactness held everywhere (interpret + compiled on chip at small
+# k). What blocked it at the target shapes:
+#   * Mosaic's VMEM allocator keeps ~the whole unrolled 26-stage chain
+#     live: k=2^13 x TL=256 wanted 352.54 MB of the 128 MB VMEM;
+#     k=2^12 failed at BOTH TL=256 and TL=128 (2 MB blocks), k=2^11 x
+#     TL=256 compiled and ran.
+#   * Checkpointing every stage through a VMEM scratch store+reload
+#     (_ntt_stages_ckpt below) to cut the live set sent the remote
+#     compile past 23 minutes without completing at k=2^13 — unusable
+#     even if it would eventually fit.
+# With no measured win at the small orders that DO compile (dispatch
+# latency dominates there), the dispatch is OFF by default.
+# ---------------------------------------------------------------------------
+
+_LANES_BLOCK_BYTES = 2 * 1024 * 1024   # k=2^11 x TL=256: the proven size
+
+LANES_PAIR_ENABLED = bool(os.environ.get("FASTECC_LANES_PAIR"))
+
+
+def _lanes_tile_for(k: int, lanes: int) -> int | None:
+    for tl in (256, 128):
+        if lanes % tl == 0 and k * tl * 4 <= _LANES_BLOCK_BYTES:
+            return tl
+    return None
+
+
+def _pair_lanes_supported(k: int, lanes: int) -> bool:
+    return (PAIR_ENABLED and LANES_PAIR_ENABLED and k >= 32
+            and _lanes_tile_for(k, lanes) is not None)
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_mid_table(field_name: str, k: int, g: int):
+    """Prepared [k, 1] mid-pair table t[m] = prep(g^m * k^-1): the coset
+    multiply with the iNTT's scale folded in (the lanes kernel runs the
+    inverse stages unscaled)."""
+    field = FIELDS[field_name]
+    t = powers_host(field, g % field.p, k).astype(np.uint64)
+    t = t * np.uint64(field.inv_host(k)) % np.uint64(field.p)
+    return np.asarray(prepare_consts(field, t.astype(np.uint32)))[:, None]
+
+
+def _ntt_stages_ckpt(y, field: FieldSpec, tw_ref, c: int, w3_ref, ckpt):
+    """_ntt_stages with a ``ckpt`` callback after every butterfly-stage
+    application: the lanes kernels route it through a VMEM scratch
+    store+reload, which cuts the Mosaic allocator's live set from the
+    whole unrolled chain (~26 full-size arrays — the 352 MB VMEM OOM at
+    k=2^13, tools/onchip_r5_lanes.py) to a few arrays, at VMEM (not
+    HBM) bandwidth."""
+    t = _log2(c)
+    tr, tl = y.shape[1], y.shape[2]
+    y = y.reshape((c, 1, tr, tl))
+    off = 0
+    s = 0
+    if w3_ref is not None and t % 2 == 1 and c >= 32:
+        y, off = _stage_r2_vmem(y, field, tw_ref, c, s, off)
+        s += 1
+        y = ckpt(y)
+    while s < t:
+        a = c >> s
+        if w3_ref is not None and s + 1 < t and a >= 32:
+            y, off = _stage_r4_vmem(y, field, tw_ref, w3_ref, c, s, off)
+            s += 2
+        else:
+            y, off = _stage_r2_vmem(y, field, tw_ref, c, s, off)
+            s += 1
+        y = ckpt(y)
+    return y.reshape((c, tr, tl))
+
+
+def _pair_lanes_kernel(tw_i_ref, w3_i_ref, tw_f_ref, w3_f_ref, mid_ref,
+                       x_ref, out_ref, scratch_ref, *, field: FieldSpec,
+                       k: int, radix: int):
+    tl = x_ref.shape[1]
+
+    def ckpt(y):
+        sh = y.shape
+        scratch_ref[:] = y.reshape(k, tl)
+        return scratch_ref[:].reshape(sh)
+
+    y = x_ref[:].reshape(k, 1, tl)
+    y = _ntt_stages_ckpt(y, field, tw_i_ref[:], k,
+                         w3_i_ref[:] if radix == 4 else None, ckpt)
+    y = mul_prepared(field, y, mid_ref[:][:, :, None])
+    y = _ntt_stages_ckpt(y, field, tw_f_ref[:], k,
+                         w3_f_ref[:] if radix == 4 else None, ckpt)
+    out_ref[:] = y.reshape(k, tl)
+
+
+def ntt_pair_lanes_pallas(x, field: FieldSpec, pre_seed: int,
+                          interpret: bool = False, radix: int = 4,
+                          tile_l: int | None = None):
+    """NTT_g-coset(iNTT(x)) in ONE Pallas pass with the whole k-point
+    column VMEM-resident per lane tile. Bit-exact vs the staged and
+    3-pass forms (test-enforced)."""
+    assert radix in (2, 4)
+    k, lanes = x.shape
+    tl = tile_l or _lanes_tile_for(k, lanes)
+    assert tl is not None and lanes % tl == 0, (
+        f"lanes pair needs TL | L and k*TL*4 <= {_LANES_BLOCK_BYTES} "
+        f"(k={k}, L={lanes})")
+    tw_i = jnp.asarray(_packed_stage_twiddles(field.name, k, True))[:, None]
+    w3_i = jnp.asarray(_packed_w3_twiddles(field.name, k, True))[:, None]
+    tw_f = jnp.asarray(_packed_stage_twiddles(field.name, k, False))[:, None]
+    w3_f = jnp.asarray(_packed_w3_twiddles(field.name, k, False))[:, None]
+    mid = jnp.asarray(_pair_mid_table(field.name, k, pre_seed))
+    out = pl.pallas_call(
+        functools.partial(_pair_lanes_kernel, field=field, k=k,
+                          radix=radix),
+        grid=(lanes // tl,),
+        in_specs=[
+            pl.BlockSpec((k, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tl), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, tl), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, lanes), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((k, tl), jnp.uint32)],
+        compiler_params=_cparams(("parallel",)),
+        interpret=interpret,
+    )(tw_i, w3_i, tw_f, w3_f, mid, x)
+    return out
+
+
+def _pair_lanes_wire16_kernel(tw_i_ref, w3_i_ref, tw_f_ref, w3_f_ref,
+                              mid_ref, x_ref, stored_ref, bm_ref,
+                              scratch_ref, *, field: FieldSpec, k: int,
+                              radix: int):
+    """One-pass wire pair: unpack prologue + both transforms + the
+    serialization epilogue of _row_kernel_wire16, whole column resident;
+    lo/hi run as two separate pipelines (see _col_kernel_wire16), each
+    checkpointed through the VMEM scratch (see _ntt_stages_ckpt)."""
+    x32 = x_ref[:]                                        # [k, TL]
+    tl = x32.shape[1]
+    w3_i = w3_i_ref[:] if radix == 4 else None
+    w3_f = w3_f_ref[:] if radix == 4 else None
+    mid = mid_ref[:][:, :, None]
+
+    def ckpt(y):
+        sh = y.shape
+        scratch_ref[:] = y.reshape(k, tl)
+        return scratch_ref[:].reshape(sh)
+
+    def run(y):
+        y = y.reshape(k, 1, tl)
+        y = _ntt_stages_ckpt(y, field, tw_i_ref[:], k, w3_i, ckpt)
+        y = mul_prepared(field, y, mid)
+        y = _ntt_stages_ckpt(y, field, tw_f_ref[:], k, w3_f, ckpt)
+        return y.reshape(k, tl)
+
+    lo = run(x32 & jnp.uint32(0xFFFF))
+    hi = run(x32 >> jnp.uint32(16))
+    m16 = jnp.uint32(0xFFFF)
+    stored_ref[:] = (lo & m16) | ((hi & m16) << jnp.uint32(16))
+    esc2 = (lo >> jnp.uint32(16)) + jnp.uint32(2) * (hi >> jnp.uint32(16))
+    tl8 = tl // 8
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (tl, tl8), 0)
+    g_idx = jax.lax.broadcasted_iota(jnp.int32, (tl, tl8), 1)
+    pw = (jnp.int32(1) << (jnp.int32(2) * (t_idx % 8))).astype(jnp.float32)
+    sel = jnp.where(t_idx // 8 == g_idx, pw, jnp.float32(0))
+    grp = jnp.dot(esc2.astype(jnp.int32).astype(jnp.float32), sel,
+                  preferred_element_type=jnp.float32).astype(
+                      jnp.int32).astype(jnp.uint32)
+    bm_ref[:] = grp.reshape(1, k, tl8)
+
+
+def ntt_pair_lanes_wire16_pallas(x_pairs, field: FieldSpec, pre_seed: int,
+                                 interpret: bool = False, radix: int = 4,
+                                 tile_l: int | None = None):
+    """One-pass GF16 wire-domain encode pair (lanes-resident twin of
+    :func:`ntt_coset_pair_wire16_pallas`): [k, Wu] u32 wire-word pairs
+    in, (stored [k, Wu] u32, bitmap [k, Wu/8] u32) out. The bitmap uses
+    the same transposed-block trick (full-minor-width [1, k, TL/8]
+    blocks per grid step + one XLA transpose over the bitmap)."""
+    assert not field.use_mont, "the wire pair is the GF16 path"
+    assert radix in (2, 4)
+    k, wu = x_pairs.shape
+    tl = tile_l or _lanes_tile_for(k, wu)
+    assert tl is not None and wu % tl == 0 and tl % 8 == 0, (
+        f"lanes wire pair needs TL|Wu, 8|TL, k*TL*4 <= "
+        f"{_LANES_BLOCK_BYTES} (k={k}, Wu={wu})")
+    tw_i = jnp.asarray(_packed_stage_twiddles(field.name, k, True))[:, None]
+    w3_i = jnp.asarray(_packed_w3_twiddles(field.name, k, True))[:, None]
+    tw_f = jnp.asarray(_packed_stage_twiddles(field.name, k, False))[:, None]
+    w3_f = jnp.asarray(_packed_w3_twiddles(field.name, k, False))[:, None]
+    mid = jnp.asarray(_pair_mid_table(field.name, k, pre_seed))
+    tl8 = tl // 8
+    stored, bm_t = pl.pallas_call(
+        functools.partial(_pair_lanes_wire16_kernel, field=field, k=k,
+                          radix=radix),
+        grid=(wu // tl,),
+        in_specs=[
+            pl.BlockSpec((k, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tl), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((k, tl), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tl8), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, wu), jnp.uint32),
+            jax.ShapeDtypeStruct((wu // tl, k, tl8), jnp.uint32),
+        ),
+        scratch_shapes=[pltpu.VMEM((k, tl), jnp.uint32)],
+        compiler_params=_cparams(("parallel",)),
+        interpret=interpret,
+    )(tw_i, w3_i, tw_f, w3_f, mid, x_pairs)
+    bm = jnp.moveaxis(bm_t, 0, 1).reshape(k, wu // 8)
+    return stored, bm
 
 
 # ---------------------------------------------------------------------------
@@ -975,6 +1227,12 @@ def ntt_coset_pair_wire16_pallas(x_pairs, field: FieldSpec, pre_seed: int,
     assert not field.use_mont, "the wire pair is the GF16 path"
     assert radix in (2, 4)
     k, wu = x_pairs.shape
+    if (c_dim is None and tile is None
+            and _pair_lanes_supported(k, wu)):
+        # small orders: the ONE-pass whole-column-resident wire form
+        return ntt_pair_lanes_wire16_pallas(x_pairs, field, pre_seed,
+                                            interpret=interpret,
+                                            radix=radix)
     c1 = c_dim or _pair_default_c(k)
     r1 = k // c1
     c2, r2 = r1, c1

@@ -239,6 +239,47 @@ def encode_blocks_roofline(n_blocks: int, block_bytes: int = 4096,
     return base
 
 
+def decode_blocks_roofline(n_blocks: int, block_bytes: int = 4096,
+                           field_name: str = "GF16",
+                           peaks: dict | None = None) -> dict:
+    """WIRE-domain decode speed-of-light (decode.decode_wire_parity: the
+    all-data-erased rate-1/2 shape, wire parity in -> raw data bytes
+    out). Round-5 verdict directive 6 — before this row existed the
+    decode product path was priced field-domain only.
+
+    Per codeword element (n rows x E field lanes, 4 HBM bytes per
+    element-pass), the priced traffic is: deserialize read (parity wire
+    covers half the rows: 1 byte/elem GF16, 2 GF32) + codeword-assembly
+    write (4) + the 3-pass fused decode pair (24) + data-row gather
+    read (2) + unpack write (1 GF16 / 2 GF32, data rows only; the
+    GF32 bitmap-lane exclusion is undercounted on purpose — ties break
+    toward fewer bytes so the bound stays a true speed-of-light):
+    **32 bytes/elem GF16, 34 GF32**. Compute is the decode pair's (4
+    extra mulmods: two epilogue tiles, locator and Forney multiplies);
+    the deserialize/unpack shifts are unpriced (same tie-break).
+
+    GB/s convention: RECOVERED data bytes = k * block_bytes (what the
+    caller gets back).
+    """
+    k = n_blocks // 2
+    if field_name == "GF16":
+        w = block_bytes // 2
+        lanes = w
+        per_elem = 32.0
+    else:
+        wd = block_bytes // 4
+        lanes = wd + -(-wd // 16)
+        per_elem = 34.0
+    total_bytes = n_blocks * lanes * per_elem
+    base = pipeline_roofline(
+        field_name, n_blocks, lanes, n_transforms=2,
+        extra_mulmods_per_elem=4.0,
+        hbm_passes=total_bytes / (2.0 * n_blocks * lanes * 4.0),
+        out_bytes=k * block_bytes, peaks=peaks)
+    base["hbm_bytes"] = total_bytes
+    return base
+
+
 def encode_roofline(n_blocks: int, lanes: int, peaks: dict | None = None,
                     field_name: str = "GF32", seam: bool = True):
     """RS-encode speed-of-light (coset fast path: iNTT_k + coset NTT_k,

@@ -141,6 +141,29 @@ def test_decode_blocks_gf16_wire_roundtrip():
     np.testing.assert_array_equal(got, raw)
 
 
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+def test_decode_wire_parity_matches_decode_blocks(field):
+    """The fully traced wire-domain decode (decode_wire_parity, the
+    bench/serving path — round-5 verdict directive 6) must equal
+    decode_blocks' host-assembled answer on the same all-data-erased
+    survivors, raw bytes to raw bytes."""
+    k = 16
+    n = 2 * k
+    raw = RNG.integers(0, 256, size=(k, 4096), dtype=np.uint16).astype(
+        np.uint8)
+    raw[0, :] = 0xFF  # GF32 escape-path stress
+    parity = np.asarray(rs.encode_blocks_jit(jnp.asarray(raw), field, n))
+    ppos = rs.parity_positions(n, k)
+    survivors = {int(ppos[i]): parity[i].tobytes() for i in range(k)}
+    want = dec.decode_blocks(survivors, n, k, field)
+    np.testing.assert_array_equal(want, raw)
+    erased = jnp.asarray(rs.data_positions(n, k).astype(np.uint32))
+    tables = dec.prepare_decode_tables_device(erased, n, field)
+    got = np.asarray(dec.decode_wire_parity_jit(
+        jnp.asarray(parity), n, k, tables, field))
+    np.testing.assert_array_equal(got, raw)
+
+
 def test_decode_blocks_insufficient_survivors():
     field, k, n = GF32, 8, 16
     raw = np.zeros((k, 4096), np.uint8)

@@ -137,6 +137,27 @@ def test_two_controller_sharded_codec(tmp_path):
                      mesh_coeff=8, mesh_block=1)
 
 
+def test_cli_scaling_multiproc_row(tmp_path, capsys):
+    """`cli scaling --procs 4 --update-baseline` emits the structural
+    2x2 row (phase walls + all_to_all counts + bit-exactness) and
+    appends the virtual-tagged line to BASELINE.md (round-5 verdict
+    directive 7)."""
+    import json as _json
+
+    from fastecc_tpu import cli
+    bp = tmp_path / "BASELINE.md"
+    bp.write_text("# BASELINE\n")
+    rc = cli.main(["scaling", "--procs", "4", "--update-baseline",
+                   "--baseline-path", str(bp)])
+    assert rc == 0
+    row = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["virtual"] and row["bit_exact"]
+    assert row["all_to_all"] == {"ntt": 3, "encode": 4, "decode": 4}
+    text = bp.read_text()
+    assert "Multihost structural proxies" in text
+    assert "4-process 2x2 Gloo mesh" in text
+
+
 def test_four_controller_2x2_mesh(tmp_path):
     """4 procs x 1 device, mesh (2,2): BOTH axes cross processes — the
     coeff all_to_all AND the block-axis sharding ride Gloo (verdict r3

@@ -196,8 +196,57 @@ def test_seam_fused_coset_pair(field, n):
     pre = jnp.asarray(
         prepare_consts(field, powers_host(field, g, n))).reshape(n, 1)
     want = np.asarray(ntt(mul_prepared(field, coeffs, pre), field))
-    got = np.asarray(ntt_coset_pair_pallas(x, field, g, interpret=True))
+    # explicit tile pins the 3-pass seam path (the default dispatch
+    # routes these small orders to the one-pass lanes form, tested
+    # separately below)
+    got = np.asarray(ntt_coset_pair_pallas(x, field, g, interpret=True,
+                                           tile=(8, 128)))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)
+@pytest.mark.parametrize("n", [1 << 7, 1 << 9])
+def test_lanes_pair_matches_staged(field, n, monkeypatch):
+    """The ONE-pass whole-column-resident encode pair (round-5
+    directive 3 exploration — opt-in after the on-chip negative result,
+    tools/onchip_r5_lanes.log) must be bit-exact vs the staged
+    transforms, and the opt-in dispatch must route small shapes
+    through it."""
+    from fastecc_tpu.kernels import ntt_mfa
+
+    x = jnp.asarray(rand_field(field, (n, 256)))
+    g = field.root_of_order(2 * n)
+    coeffs = ntt(x, field, inverse=True)
+    pre = jnp.asarray(
+        prepare_consts(field, powers_host(field, g, n))).reshape(n, 1)
+    want = np.asarray(ntt(mul_prepared(field, coeffs, pre), field))
+    got = np.asarray(ntt_mfa.ntt_pair_lanes_pallas(x, field, g,
+                                                   interpret=True))
+    np.testing.assert_array_equal(got, want)
+    assert not ntt_mfa._pair_lanes_supported(n, 256)  # off by default
+    monkeypatch.setattr(ntt_mfa, "LANES_PAIR_ENABLED", True)
+    assert ntt_mfa._pair_lanes_supported(n, 256)
+    got2 = np.asarray(ntt_mfa.ntt_coset_pair_pallas(x, field, g,
+                                                    interpret=True))
+    np.testing.assert_array_equal(got2, want)
+
+
+def test_lanes_wire16_pair_matches_generic():
+    """One-pass wire pair (lanes-resident) vs the generic pipeline,
+    with real 0x10000 escapes in the parity."""
+    from fastecc_tpu.kernels.ntt_mfa import ntt_pair_lanes_wire16_pallas
+    k, block_bytes = 1 << 8, 4096
+    raw = np.random.default_rng(0).integers(0, 256, (k, block_bytes),
+                                            dtype=np.uint8)
+    pairs = np.ascontiguousarray(raw).view(np.uint32)
+    stored, bm = ntt_pair_lanes_wire16_pallas(
+        jnp.asarray(pairs), GF16, GF16.root_of_order(2 * k),
+        interpret=True)
+    wire, st_ref, bm_ref, par = _wire16_reference(raw, k)
+    assert (par == 0x10000).sum() > 0, "test shape no longer hits escapes"
+    assert np.array_equal(np.asarray(stored).view(np.uint8), st_ref)
+    assert np.array_equal(np.asarray(bm).astype(np.uint16).view(np.uint8),
+                          bm_ref)
 
 
 @pytest.mark.parametrize("field", [GF32, GF16], ids=lambda f: f.name)

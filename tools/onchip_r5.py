@@ -75,16 +75,59 @@ def dense_escape_b2():
         raise SystemExit("dense-escape bitmap wrong on chip")
 
 
+def lanes_correctness():
+    """Compiled lanes kernels (field both fields + wire) vs staged, on
+    chip, small shape — the whole-column stage chain with tr=1 is the
+    Mosaic lowering risk interpret mode cannot cover."""
+    from fastecc_tpu.fields import GF32
+    from fastecc_tpu.ntt import ntt
+    rng = np.random.default_rng(5)
+    n, lanes = 1 << 10, 256
+    for field in (GF32, GF16):
+        x = jnp.asarray(rng.integers(0, field.p, (n, lanes),
+                                     dtype=np.uint64).astype(np.uint32))
+        g = field.root_of_order(2 * n)
+        f = jax.jit(lambda v, fl=field, gg=g: (
+            ntt_mfa.ntt_pair_lanes_pallas(v, fl, gg),
+            ntt_mfa.ntt_coset_pair_pallas(v, fl, gg, tile=(8, 128))))
+        a, b = f(x)
+        ok = bool(np.array_equal(np.asarray(a), np.asarray(b)))
+        emit(check=f"lanes_pair_{field.name}_vs_seam_on_chip", ok=ok)
+        if not ok:
+            raise SystemExit("lanes pair wrong on chip")
+    k, bb = 1 << 8, 4096
+    raw = np.random.default_rng(0).integers(0, 256, (k, bb), dtype=np.uint8)
+    pairs = jnp.asarray(np.ascontiguousarray(raw).view(np.uint32))
+    w = GF16.root_of_order(2 * k)
+    f = jax.jit(lambda v: ntt_mfa.ntt_pair_lanes_wire16_pallas(v, GF16, w))
+    stored, bm = f(pairs)
+    fields_in = packing.pack_data(jnp.asarray(raw), GF16)
+    par = rs.encode_parity(fields_in, GF16, 2 * k)
+    wire = np.asarray(packing.serialize_parity(par, GF16))
+    got = rs.wire_gf16_from_parts(stored, bm)
+    ok = bool(np.array_equal(got, wire))
+    emit(check="lanes_wire16_bit_exact_on_chip", ok=ok,
+         escapes=int((np.asarray(par) == 0x10000).sum()))
+    if not ok:
+        raise SystemExit("lanes wire pair wrong on chip")
+    jax.clear_caches()
+    gc.collect()
+
+
 def gf16_wire(samples=5):
     k, bb = 1 << 13, 1 << 16
     wu = bb // 4
     pairs = jax.block_until_ready(
         jax.random.bits(jax.random.key(3), (k, wu), dtype=jnp.uint32))
-    f1 = jax.jit(lambda x: rs.encode_blocks_gf16_parts(x, 2 * k)[0])
-    f2 = jax.jit(lambda x: rs.encode_blocks_gf16_parts(
-        rs.encode_blocks_gf16_parts(x, 2 * k)[0], 2 * k)[0])
+    w = GF16.root_of_order(2 * k)
+    # (the one-pass "lanes" variant is compile-blocked at this shape —
+    # tools/onchip_r5_lanes.log — so only the production 3-pass path
+    # is measured)
+    call = lambda v: rs.encode_blocks_gf16_parts(v, 2 * k)[0]  # noqa: E731
+    f1 = jax.jit(call)
+    f2 = jax.jit(lambda v: call(call(v)))
     t1, t2, m, s1, s2 = marginal(f1, f2, pairs, samples)
-    emit(metric="gf16_wire_pair_inkernel_bitmap",
+    emit(metric="gf16_wire_pair_seam3pass",
          single_s=round(t1, 4), marginal_s=round(m, 4),
          marginal_wire_gbps=round(2 * k * bb / m / 1e9, 1),
          s1=[round(v, 4) for v in s1], s2=[round(v, 4) for v in s2])
@@ -99,11 +142,11 @@ def gf16_field(samples=5):
         jax.random.bits(jax.random.key(2), (k, lanes), dtype=jnp.uint32)
         & jnp.uint32(0xFFFF))
     w = GF16.root_of_order(2 * k)
-    f1 = jax.jit(lambda x: ntt_mfa.ntt_coset_pair_pallas(x, GF16, w))
-    f2 = jax.jit(lambda x: ntt_mfa.ntt_coset_pair_pallas(
-        ntt_mfa.ntt_coset_pair_pallas(x, GF16, w), GF16, w))
+    call = lambda v: ntt_mfa.ntt_coset_pair_pallas(v, GF16, w)  # noqa: E731
+    f1 = jax.jit(call)
+    f2 = jax.jit(lambda v: call(call(v)))
     t1, t2, m, s1, s2 = marginal(f1, f2, data, samples)
-    emit(metric="gf16_field_pair",
+    emit(metric="gf16_field_pair_seam3pass",
          single_s=round(t1, 4), marginal_s=round(m, 4),
          marginal_wire_gbps=round(2 * k * lanes * 2 / m / 1e9, 1),
          s1=[round(v, 4) for v in s1], s2=[round(v, 4) for v in s2])
@@ -118,6 +161,7 @@ def main():
     dense_escape_b2()
     jax.clear_caches()
     gc.collect()
+    lanes_correctness()
     gf16_wire()
     gf16_field()
 
