@@ -55,18 +55,20 @@ def _probe_backend(timeout_s: float = 180.0, attempts: int | None = None,
     degrades to a small CPU run with the degradation reported".
 
     Tunnel outages observed on this box are often TRANSIENT (a probe that
-    hung at one minute succeeded five minutes later), so a single failed
-    attempt retries after a delay before declaring the backend down —
-    otherwise one blip at bench time records a degraded CPU line for a
-    perfectly healthy chip. FASTECC_PROBE_ATTEMPTS / FASTECC_PROBE_DELAY_S
-    override the 3-attempt / 45 s defaults (set attempts=1 to restore the
-    single-shot behavior)."""
+    hung at one minute succeeded five minutes later; round-5 saw a
+    multi-minute outage between two healthy runs), so failed attempts
+    retry after a delay before declaring the backend down — otherwise
+    one blip at bench time records a degraded CPU line for a perfectly
+    healthy chip. FASTECC_PROBE_ATTEMPTS / FASTECC_PROBE_DELAY_S
+    override the 5-attempt / 120 s defaults (~18 min of patience incl.
+    the probes' own timeouts; set attempts=1 for single-shot)."""
     import subprocess
     import time as _time
     if attempts is None:
-        attempts = int(os.environ.get("FASTECC_PROBE_ATTEMPTS", "3"))
+        attempts = int(os.environ.get("FASTECC_PROBE_ATTEMPTS", "5"))
     if retry_delay_s is None:
-        retry_delay_s = float(os.environ.get("FASTECC_PROBE_DELAY_S", "45"))
+        retry_delay_s = float(os.environ.get("FASTECC_PROBE_DELAY_S",
+                                             "120"))
     code = ("import jax, jax.numpy as jnp;"
             "r = jax.jit(lambda v: (v * 2).sum())(jnp.arange(8.0));"
             "assert float(r) == 56.0")
