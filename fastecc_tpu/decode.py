@@ -833,6 +833,11 @@ def decode_wire_parity(parity_wire, n: int, k: int, tables,
     rows measure and utils/profiling.decode_blocks_roofline prices;
     general mixed survivor patterns go through :func:`decode_blocks`
     (host assembly)."""
+    if parity_wire.shape[-1] % 4 == 0:
+        pairs = packing._bytes_to_u32(parity_wire, 4)   # bitcast, free
+        return packing._u32_to_bytes(
+            decode_wire_parts(pairs, n, k, tables, field), 4)
+    # odd-pair parity widths (tiny non-standard block sizes only)
     from .rs import _pad_lanes
     assert n == 2 * k, "the wire parity decode is the rate-1/2 path"
     mask, l_eval, lp_inv = tables
@@ -848,3 +853,30 @@ def decode_wire_parity(parity_wire, n: int, k: int, tables,
 
 decode_wire_parity_jit = jax.jit(decode_wire_parity,
                                  static_argnames=("n", "k", "field"))
+
+
+def decode_wire_parts(parity_pairs, n: int, k: int, tables,
+                      field: FieldSpec):
+    """Parts form of :func:`decode_wire_parity` — u32 LE byte-images end
+    to end, no uint8 arrays anywhere (the serving/bench path, mirroring
+    rs.encode_blocks_gf16_parts): [n-k, parity_bytes/4] u32 wire-parity
+    view in, [k, block_bytes/4] u32 data-block view out. The wire bytes
+    are these arrays' byte image, free on the host; on device the u32
+    form matters — TPU u8 vector math is slow and the arithmetic
+    byte conversions inflated HBM 4x (round-5 bench measured the u8
+    pipeline at 13% of speed-of-light before this form)."""
+    from .rs import _pad_lanes
+    assert n == 2 * k, "the wire parity decode is the rate-1/2 path"
+    mask, l_eval, lp_inv = tables
+    par = packing.deserialize_parity_pairs(parity_pairs, field)
+    cw = jnp.stack([jnp.zeros_like(par), par], axis=1)
+    cw = cw.reshape(n, par.shape[1])
+    padded, lanes = _pad_lanes(cw)
+    full = decode_prepared(padded, mask, l_eval, lp_inv, field,
+                           merge=False)
+    data_rows = full[::2, :lanes]
+    return packing.data_rows_to_pairs(data_rows, field)
+
+
+decode_wire_parts_jit = jax.jit(decode_wire_parts,
+                                static_argnames=("n", "k", "field"))

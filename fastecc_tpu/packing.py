@@ -36,6 +36,7 @@ GF16 data blocks (B bytes -> B/2 field lanes):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .fields import FieldSpec
@@ -71,20 +72,32 @@ def parity_bytes(field: FieldSpec, block_bytes: int = BLOCK_BYTES) -> int:
 
 
 def _bytes_to_u32(raw, word_bytes: int):
-    """[..., nbytes] uint8 -> [..., nbytes/word_bytes] uint32, little-endian."""
+    """[..., nbytes] uint8 -> [..., nbytes/word_bytes] uint32, little-endian.
+
+    A BITCAST, not byte arithmetic: the shift-and-or formulation
+    materialized a u32 copy of every byte (4x inflation — it OOMed the
+    GF32 wire bench chain) and TPU u8 vector math is slow; XLA's
+    bitcast-convert collapses the minor byte axis in the platform's
+    little-endian layout for free. Bit-exactness vs the arithmetic form
+    is pinned by the byte-level wire goldens (test_wire_golden) and the
+    on-chip wire checks (test_tpu)."""
     shape = raw.shape[:-1] + (raw.shape[-1] // word_bytes, word_bytes)
-    b = raw.reshape(shape).astype(jnp.uint32)
-    w = b[..., 0]
-    for i in range(1, word_bytes):
-        w = w | (b[..., i] << _U32(8 * i))
-    return w
+    b = raw.reshape(shape)
+    if word_bytes == 4:
+        return jax.lax.bitcast_convert_type(b, jnp.uint32)
+    assert word_bytes == 2
+    return jax.lax.bitcast_convert_type(b, jnp.uint16).astype(jnp.uint32)
 
 
 def _u32_to_bytes(words, word_bytes: int):
-    """Inverse of :func:`_bytes_to_u32`."""
-    parts = [((words >> _U32(8 * i)) & _U32(0xFF)).astype(jnp.uint8)
-             for i in range(word_bytes)]
-    out = jnp.stack(parts, axis=-1)
+    """Inverse of :func:`_bytes_to_u32` (same bitcast rationale)."""
+    if word_bytes == 4:
+        out = jax.lax.bitcast_convert_type(words.astype(jnp.uint32),
+                                           jnp.uint8)
+    else:
+        assert word_bytes == 2
+        out = jax.lax.bitcast_convert_type(words.astype(jnp.uint16),
+                                           jnp.uint8)
     return out.reshape(out.shape[:-2] + (out.shape[-2] * word_bytes,))
 
 
@@ -174,3 +187,42 @@ def deserialize_parity(raw, field: FieldSpec):
     stored, bitmap = words[..., :words_n], words[..., words_n:]
     esc = _unpack_bits(bitmap, 16, words_n)
     return stored + esc * _U32(0x10000)
+
+
+# ---------------------------------------------------------------------------
+# Parts forms: u32 little-endian byte images instead of uint8 arrays.
+# The wire bytes ARE these u32 arrays' byte image (a free host
+# reinterpretation: np.ascontiguousarray(x).view(...)), and keeping the
+# device side in u32 avoids TPU u8 vector math entirely — the serving
+# and bench paths use these (mirrors rs.encode_blocks_gf16_parts).
+# ---------------------------------------------------------------------------
+
+def deserialize_parity_pairs(pairs, field: FieldSpec):
+    """[m, parity_bytes/4] u32 LE byte-image of wire parity ->
+    [m, field_lanes] u32 field elements (parts twin of
+    :func:`deserialize_parity`; requires parity_bytes % 4 == 0, true
+    for every standard block size)."""
+    if field.use_mont:
+        return pairs                      # GF32 wire IS the u32 lanes
+    m = pairs.shape[0]
+    lo = pairs & _U32(0xFFFF)
+    hi = pairs >> _U32(16)
+    words = jnp.stack([lo, hi], axis=-1).reshape(m, pairs.shape[-1] * 2)
+    words_n = _words_from_lanes(words.shape[-1])
+    stored, bitmap = words[..., :words_n], words[..., words_n:]
+    esc = _unpack_bits(bitmap, 16, words_n)
+    return stored + esc * _U32(0x10000)
+
+
+def data_rows_to_pairs(rows, field: FieldSpec):
+    """[k, field_lanes] u32 DATA-block field rows -> [k, B/4] u32 LE
+    byte-image of the raw blocks (inverse of :func:`pack_data` up to
+    the free byte view; parts twin of :func:`unpack_data`)."""
+    if field.use_mont:
+        lanes = rows.shape[-1]
+        words_n = _words_from_lanes(lanes)
+        stored, bitmap = rows[..., :words_n], rows[..., words_n:]
+        esc = _unpack_bits(bitmap, 16, words_n)
+        return stored + esc * _U32(field.p)
+    lo, hi = rows[..., 0::2], rows[..., 1::2]
+    return lo | (hi << _U32(16))

@@ -162,6 +162,13 @@ def test_decode_wire_parity_matches_decode_blocks(field):
     got = np.asarray(dec.decode_wire_parity_jit(
         jnp.asarray(parity), n, k, tables, field))
     np.testing.assert_array_equal(got, raw)
+    # parts form (u32 byte-images end to end — the bench/serving path):
+    # the wire bytes are the arrays' byte image on both sides
+    pairs = jnp.asarray(np.ascontiguousarray(parity).view(np.uint32))
+    out_pairs = np.asarray(dec.decode_wire_parts_jit(
+        pairs, n, k, tables, field))
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(out_pairs).view(np.uint8), raw)
 
 
 def test_decode_blocks_insufficient_survivors():
