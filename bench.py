@@ -272,28 +272,20 @@ def run_decode_wire_metric(iters: int, field_name: str):
     round-5 verdict directive 6): the all-data-erased rate-1/2 stripe,
     wire-parity u32 byte-image in -> raw-data u32 byte-image out (the
     parts form; wire bytes are these arrays' byte image, free on the
-    host — same convention as the GF16 encode wire metric), prepared
-    tables amortized (their one-time device build is reported
-    separately by the field-domain metric). GF16 at n=2^16 (max order)
-    x 4KB blocks; GF32 at n=2^18. The chain leg decodes two
+    host — same convention as the GF16 encode wire metric). The path is
+    the coset-pair mirror of encode (no locator tables). GF16 at n=2^16
+    (max order) x 4KB blocks; GF32 at n=2^18 (fits outright — an axon
+    OOM is unrecoverable in-process, so sizes are chosen a priori; the
+    fallback below is a last resort). The chain leg decodes two
     xor-perturbed copies in one jit (output shape differs from input,
     so the usual self-composition chain cannot apply; the xor defeats
     CSE). GB/s counts RECOVERED data bytes
     (utils/profiling.decode_blocks_roofline prices the pipeline)."""
-    import numpy as np
-
     from fastecc_tpu import decode as dec
-    from fastecc_tpu import rs
+    from fastecc_tpu import packing, rs
     from fastecc_tpu.fields import FIELDS
 
     field = FIELDS[field_name]
-    # GF32 runs at n=2^18, not the 2^20 decode shape: the chained leg
-    # holds two full decodes' transform intermediates plus the wire
-    # parity and recovered bytes, and an OOM is UNRECOVERABLE in-process
-    # on the axon backend (a failed executable's buffers are never
-    # reclaimed — the round-5 first run poisoned every later metric).
-    # Sizes are chosen to fit outright; the OOM fallback below is a
-    # last resort, not the plan.
     lg_n = 16 if field_name == "GF16" else 18
     while True:
         try:
@@ -302,24 +294,17 @@ def run_decode_wire_metric(iters: int, field_name: str):
             bits = jax.random.bits(jax.random.key(5), (k, bb),
                                    dtype=jnp.uint8)
             raw = jax.block_until_ready(bits)
-            from fastecc_tpu import packing
             parity = jax.block_until_ready(
                 rs.encode_blocks_jit(raw, field, n))
             del raw, bits
             pairs = jax.block_until_ready(
                 jax.jit(lambda p: packing._bytes_to_u32(p, 4))(parity))
             del parity
-            erased = jnp.asarray(rs.data_positions(n, k).astype(np.uint32))
-            tables = tuple(jax.block_until_ready(a)
-                           for a in dec.prepare_decode_tables_device(
-                               erased, n, field))
-            f1 = jax.jit(lambda p: dec.decode_wire_parts(
-                p, n, k, tables, field))
+            f1 = jax.jit(lambda p: dec.decode_wire_parts(p, n, k, field))
             s1 = time_samples(f1, pairs, iters=iters)
             f2 = jax.jit(lambda p: (
-                dec.decode_wire_parts(p, n, k, tables, field),
-                dec.decode_wire_parts(p ^ jnp.uint32(1), n, k, tables,
-                                      field)))
+                dec.decode_wire_parts(p, n, k, field),
+                dec.decode_wire_parts(p ^ jnp.uint32(1), n, k, field)))
             s2 = time_samples(f2, pairs, iters=iters)
             break
         except Exception as e:  # noqa: BLE001 - OOM-only fallback
@@ -331,25 +316,26 @@ def run_decode_wire_metric(iters: int, field_name: str):
             gc.collect()
             jax.clear_caches()
     marginal, spread = _marginal_from_samples(s2, s1)
-    del pairs, tables
+    del pairs
     data_bytes = k * bb
     return s1, data_bytes / median(s1) / 1e9, \
         (data_bytes / marginal / 1e9 if marginal else None), spread, n
 
 
-def run_gf32_wire_metric(iters: int, lg_k: int = 18):
+def run_gf32_wire_metric(iters: int, lg_k: int = 17):
     """Secondary: GF32 WIRE-domain encode GB/s (rs.encode_blocks: k data
     blocks of 4096 bytes). GF32 has no fused wire pair (the escape
     bitmap is extra codeword LANES — see ntt_mfa.py), so this measures
     the honest product path: XLA pack pass + the fused field pair + XLA
     serialize pass, all priced by encode_blocks_roofline(fused=False).
 
-    Default lg_k=18, NOT the 2^19 headline: the chained leg holds two
-    encodes' raw + packed + parity + wire arrays at once, 2^19 OOMed on
-    the 16 GB chip, and an axon OOM poisons every later in-process
-    dispatch (round-5 first bench run) — the per-element rate is
-    shape-independent at these sizes, so the smaller config measures
-    the same thing. The OOM fallback below remains as a last resort."""
+    Default lg_k=17, NOT the 2^19 headline: the chained leg holds two
+    encodes' raw + packed + parity + wire arrays at once, 2^19 AND 2^18
+    OOMed fresh subprocesses on the 16 GB chip, and an axon OOM poisons
+    every later in-process dispatch (round-5 bench runs) — the
+    per-element rate is shape-independent at these sizes, so the
+    smaller config measures the same thing. The OOM fallback below
+    remains as a last resort."""
     from fastecc_tpu import rs
 
     while True:

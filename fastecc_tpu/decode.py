@@ -814,68 +814,105 @@ def decode_blocks(survivors: dict, n: int, k: int, field: FieldSpec,
     return np.asarray(packing.unpack_data(data_rows, field))
 
 
-def decode_wire_parity(parity_wire, n: int, k: int, tables,
-                       field: FieldSpec):
+def decode_wire_parity(parity_wire, n: int, k: int, field: FieldSpec):
     """WIRE-domain steady-state decode, fully traced (SURVEY.md C12/C13
     product path): the all-data-erased rate-1/2 serving shape —
     [n-k, parity_bytes] uint8 wire parity in, [k, block_bytes] uint8
-    data blocks out, ONE jitted program. Deserialization, codeword
-    assembly (zeros at the erased data positions), the two fused decode
-    transforms (decode_prepared, merge=False — only erased rows are
-    consumed), the data-row gather and the byte unpack all trace
-    together, so XLA fuses the elementwise glue around the Pallas pair.
-    ``tables`` are the prepared decode tables for
-    erased = data_positions(n, k) (build once per (n, k) and amortize
-    across stripes — prepare_decode_tables_device or the host path).
+    data blocks out, ONE jitted program. The byte endpoints are
+    bitcasts around :func:`decode_wire_parts` (the u32 parts form —
+    the coset-pair mirror of the encode fast path; no locator tables
+    needed for this shape).
 
     Bit-exact equal to :func:`decode_blocks` over the same survivors
-    (test-enforced). This is the path bench.py's decode_wiredomain_*
-    rows measure and utils/profiling.decode_blocks_roofline prices;
+    (test-enforced). bench.py's decode_wiredomain_* rows measure the
+    parts form and utils/profiling.decode_blocks_roofline prices it;
     general mixed survivor patterns go through :func:`decode_blocks`
     (host assembly)."""
-    if parity_wire.shape[-1] % 4 == 0:
-        pairs = packing._bytes_to_u32(parity_wire, 4)   # bitcast, free
-        return packing._u32_to_bytes(
-            decode_wire_parts(pairs, n, k, tables, field), 4)
-    # odd-pair parity widths (tiny non-standard block sizes only)
-    from .rs import _pad_lanes
-    assert n == 2 * k, "the wire parity decode is the rate-1/2 path"
-    mask, l_eval, lp_inv = tables
-    par = packing.deserialize_parity(parity_wire, field)   # [n-k, E]
-    cw = jnp.stack([jnp.zeros_like(par), par], axis=1)
-    cw = cw.reshape(n, par.shape[1])
-    padded, lanes = _pad_lanes(cw)
-    full = decode_prepared(padded, mask, l_eval, lp_inv, field,
-                           merge=False)
-    data_rows = full[::2, :lanes]
-    return packing.unpack_data(data_rows, field)
+    assert parity_wire.shape[-1] % 4 == 0, (
+        "standard block sizes only (parity_bytes % 4 == 0)")
+    pairs = packing._bytes_to_u32(parity_wire, 4)       # bitcast, free
+    return packing._u32_to_bytes(
+        decode_wire_parts(pairs, n, k, field), 4)
 
 
 decode_wire_parity_jit = jax.jit(decode_wire_parity,
                                  static_argnames=("n", "k", "field"))
 
 
-def decode_wire_parts(parity_pairs, n: int, k: int, tables,
-                      field: FieldSpec):
-    """Parts form of :func:`decode_wire_parity` — u32 LE byte-images end
-    to end, no uint8 arrays anywhere (the serving/bench path, mirroring
+def decode_data_from_parity(parity, field: FieldSpec, n: int):
+    """All-data-erased rate-1/2 decode in FIELD domain: [k, L] parity
+    rows (encode_parity order = odd codeword positions) -> [k, L] data
+    rows, via the COSET-PAIR MIRROR of the encode fast path.
+
+    Algebra: parity[i] = f(w_n * w_k^i), so h(x) = f(w_n x) has
+    coefficients h_m = f_m * w_n^m = iNTT_k(parity)[m], and
+    data[i] = f(w_k^i) = NTT_k(h multiplied by w_n^-m) — exactly the
+    encode pair with the INVERSE coset seed. Two k-point transforms
+    (half the n-point locator formulation's rows), no locator tables,
+    no erasure machinery; bit-exact vs the prepared-tables decode over
+    the same survivors (test-enforced)."""
+    k = parity.shape[0]
+    assert n == 2 * k, "parity-only decode is the rate-1/2 path"
+    w_inv = field.inv_host(field.root_of_order(n))
+    from .kernels import ntt_mfa
+    if (parity.ndim == 2 and jax.default_backend() == "tpu"
+            and ntt_mfa._pair_supported(k, parity.shape[1])):
+        return ntt_mfa.ntt_coset_pair_pallas(parity, field, w_inv)
+    coeffs = ntt_auto(parity, field, inverse=True)
+    return ntt_auto(coeffs, field, pre_seed=w_inv)
+
+
+def decode_wire_parts(parity_pairs, n: int, k: int, field: FieldSpec):
+    """Parts form of the all-data-erased wire decode — u32 LE
+    byte-images end to end, no uint8 arrays and NO lane-strided
+    relayouts anywhere (the serving/bench path, mirroring
     rs.encode_blocks_gf16_parts): [n-k, parity_bytes/4] u32 wire-parity
     view in, [k, block_bytes/4] u32 data-block view out. The wire bytes
-    are these arrays' byte image, free on the host; on device the u32
-    form matters — TPU u8 vector math is slow and the arithmetic
-    byte conversions inflated HBM 4x (round-5 bench measured the u8
-    pipeline at 13% of speed-of-light before this form)."""
+    are these arrays' byte image, free on the host.
+
+    Runs :func:`decode_data_from_parity`'s coset pair. For GF16 the u32
+    pairs split into SEPARATE lo/hi half arrays (elementwise masks, the
+    same trick as the encode wire kernels) concatenated along the lane
+    axis — lanes are independent codewords, so the column ordering is
+    free as long as input and output agree — and the escape bitmap
+    expands via an 8x lane repeat of the (1/8-sized) bitmap words. The
+    n-point prepared-tables formulation this replaces measured 13% of
+    speed-of-light (round-5 bench): strided row interleave/gather glue
+    plus double-size transforms cost ~7x the coset pair."""
     from .rs import _pad_lanes
-    assert n == 2 * k, "the wire parity decode is the rate-1/2 path"
-    mask, l_eval, lp_inv = tables
-    par = packing.deserialize_parity_pairs(parity_pairs, field)
-    cw = jnp.stack([jnp.zeros_like(par), par], axis=1)
-    cw = cw.reshape(n, par.shape[1])
-    padded, lanes = _pad_lanes(cw)
-    full = decode_prepared(padded, mask, l_eval, lp_inv, field,
-                           merge=False)
-    data_rows = full[::2, :lanes]
-    return packing.data_rows_to_pairs(data_rows, field)
+    m = parity_pairs.shape[0]
+    assert n == 2 * k and m == k, "wire parts decode is rate-1/2"
+    if field.use_mont:
+        lanes = parity_pairs.shape[1]          # E = Wd + ceil(Wd/16)
+        padded, real = _pad_lanes(parity_pairs)
+        rows = decode_data_from_parity(padded, field, n)[:, :real]
+        wd = packing._words_from_lanes(lanes)
+        stored, bitmap = rows[:, :wd], rows[:, wd:]
+        esc = packing._unpack_bits(bitmap, 16, wd)
+        return stored + esc * jnp.uint32(field.p)
+    # GF16: deserialize to lo/hi half arrays (wire word 2q -> lo col q,
+    # word 2q+1 -> hi col q), decode as [k, W] with lo || hi lanes,
+    # recombine elementwise.
+    wu = parity_pairs.shape[1]                 # parity_bytes / 4
+    w = packing._words_from_lanes(2 * wu)      # stored wire words
+    assert w % 2 == 0, "odd stored-word counts need the bytes API"
+    wp = w // 2                                # u32 pairs of stored words
+    st = parity_pairs[:, :wp]
+    lo = st & jnp.uint32(0xFFFF)
+    hi = st >> jnp.uint32(16)
+    bmp = parity_pairs[:, wp:]
+    bm = jnp.stack([bmp & jnp.uint32(0xFFFF), bmp >> jnp.uint32(16)],
+                   axis=-1).reshape(m, -1)[:, : -(-wp // 8)]
+    bmx = jnp.repeat(bm, 8, axis=-1)[:, :wp]   # bm word q//8 at col q
+    sh = jnp.uint32(2) * (
+        jax.lax.broadcasted_iota(jnp.uint32, (1, wp), 1) % jnp.uint32(8))
+    esc16 = jnp.uint32(0x10000)
+    lo = lo + ((bmx >> sh) & jnp.uint32(1)) * esc16
+    hi = hi + ((bmx >> (sh + jnp.uint32(1))) & jnp.uint32(1)) * esc16
+    x = jnp.concatenate([lo, hi], axis=-1)     # [k, W]
+    padded, real = _pad_lanes(x)
+    out = decode_data_from_parity(padded, field, n)[:, :real]
+    return out[:, :wp] | (out[:, wp:] << jnp.uint32(16))
 
 
 decode_wire_parts_jit = jax.jit(decode_wire_parts,

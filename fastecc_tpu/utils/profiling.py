@@ -242,21 +242,24 @@ def encode_blocks_roofline(n_blocks: int, block_bytes: int = 4096,
 def decode_blocks_roofline(n_blocks: int, block_bytes: int = 4096,
                            field_name: str = "GF16",
                            peaks: dict | None = None) -> dict:
-    """WIRE-domain decode speed-of-light (decode.decode_wire_parity: the
+    """WIRE-domain decode speed-of-light (decode.decode_wire_parts: the
     all-data-erased rate-1/2 shape, wire parity in -> raw data bytes
     out). Round-5 verdict directive 6 — before this row existed the
     decode product path was priced field-domain only.
 
-    Per codeword element (n rows x E field lanes, 4 HBM bytes per
-    element-pass), the priced traffic is: deserialize read (parity wire
-    covers half the rows: 1 byte/elem GF16, 2 GF32) + codeword-assembly
-    write (4) + the 3-pass fused decode pair (24) + data-row gather
-    read (2) + unpack write (1 GF16 / 2 GF32, data rows only; the
-    GF32 bitmap-lane exclusion is undercounted on purpose — ties break
-    toward fewer bytes so the bound stays a true speed-of-light):
-    **32 bytes/elem GF16, 34 GF32**. Compute is the decode pair's (4
-    extra mulmods: two epilogue tiles, locator and Forney multiplies);
-    the deserialize/unpack shifts are unpriced (same tie-break).
+    The path is the COSET-PAIR MIRROR of the encode fast path
+    (data = NTT_k(iNTT_k(parity) * w_n^-m)): two k-point transforms
+    over [k, E] — half the rows of the n-point locator formulation it
+    replaced (which measured 13% of ITS bound: strided interleave/
+    gather glue + double-size transforms). Per element of the [k, E]
+    field array (4 HBM bytes per element-pass): the 3-pass fused pair
+    (24) + GF16's deserialize (read u32 wire pairs 2 + write field
+    lanes 4) and recombine (read 4 + write wire pairs 2) = **36
+    bytes/elem GF16**; GF32's deserialize is an identity view and only
+    the recombine pays (read 4 + write 4) = **32 bytes/elem GF32**.
+    Compute: two transforms + 3 extra mulmods (two epilogue tiles + the
+    inverse-coset multiply); the escape shifts are unpriced (ties break
+    toward fewer ops so the bound stays a true speed-of-light).
 
     GB/s convention: RECOVERED data bytes = k * block_bytes (what the
     caller gets back).
@@ -265,16 +268,16 @@ def decode_blocks_roofline(n_blocks: int, block_bytes: int = 4096,
     if field_name == "GF16":
         w = block_bytes // 2
         lanes = w
-        per_elem = 32.0
+        per_elem = 36.0
     else:
         wd = block_bytes // 4
         lanes = wd + -(-wd // 16)
-        per_elem = 34.0
-    total_bytes = n_blocks * lanes * per_elem
+        per_elem = 32.0
+    total_bytes = k * lanes * per_elem
     base = pipeline_roofline(
-        field_name, n_blocks, lanes, n_transforms=2,
-        extra_mulmods_per_elem=4.0,
-        hbm_passes=total_bytes / (2.0 * n_blocks * lanes * 4.0),
+        field_name, k, lanes, n_transforms=2,
+        extra_mulmods_per_elem=3.0,
+        hbm_passes=total_bytes / (2.0 * k * lanes * 4.0),
         out_bytes=k * block_bytes, peaks=peaks)
     base["hbm_bytes"] = total_bytes
     return base

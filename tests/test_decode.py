@@ -157,18 +157,24 @@ def test_decode_wire_parity_matches_decode_blocks(field):
     survivors = {int(ppos[i]): parity[i].tobytes() for i in range(k)}
     want = dec.decode_blocks(survivors, n, k, field)
     np.testing.assert_array_equal(want, raw)
-    erased = jnp.asarray(rs.data_positions(n, k).astype(np.uint32))
-    tables = dec.prepare_decode_tables_device(erased, n, field)
     got = np.asarray(dec.decode_wire_parity_jit(
-        jnp.asarray(parity), n, k, tables, field))
+        jnp.asarray(parity), n, k, field))
     np.testing.assert_array_equal(got, raw)
     # parts form (u32 byte-images end to end — the bench/serving path):
     # the wire bytes are the arrays' byte image on both sides
     pairs = jnp.asarray(np.ascontiguousarray(parity).view(np.uint32))
-    out_pairs = np.asarray(dec.decode_wire_parts_jit(
-        pairs, n, k, tables, field))
+    out_pairs = np.asarray(dec.decode_wire_parts_jit(pairs, n, k, field))
     np.testing.assert_array_equal(
         np.ascontiguousarray(out_pairs).view(np.uint8), raw)
+    # field-domain coset mirror vs the prepared-tables decode
+    erased = jnp.asarray(rs.data_positions(n, k).astype(np.uint32))
+    tables = dec.prepare_decode_tables_device(erased, n, field)
+    par_fields = packing.deserialize_parity(jnp.asarray(parity), field)
+    got_f = np.asarray(dec.decode_data_from_parity(par_fields, field, n))
+    cw = jnp.stack([jnp.zeros_like(par_fields), par_fields],
+                   axis=1).reshape(n, par_fields.shape[1])
+    want_f = np.asarray(dec.decode_prepared(cw, *tables, field))[::2]
+    np.testing.assert_array_equal(got_f, want_f)
 
 
 def test_decode_blocks_insufficient_survivors():
