@@ -667,6 +667,15 @@ def cmd_roofline(args):
     elif args.pipeline == "decode":
         r = profiling.decode_roofline(n, args.lanes, peaks=peaks,
                                       field_name=field.name, seam=seam)
+    elif args.pipeline == "encode-wire":
+        # GF16's fused wire pair is the seam path; GF32 has no fused
+        # wire form (the escape bitmap is extra codeword lanes)
+        r = profiling.encode_blocks_roofline(
+            n, args.block_bytes, field_name=field.name,
+            fused=(field.name == "GF16" and seam), peaks=peaks)
+    elif args.pipeline == "decode-wire":
+        r = profiling.decode_blocks_roofline(
+            n, args.block_bytes, field_name=field.name, peaks=peaks)
     else:
         r = profiling.ntt_roofline(n, args.lanes, peaks=peaks,
                                    field_name=field.name)
@@ -675,9 +684,11 @@ def cmd_roofline(args):
            "seam": None if args.pipeline == "ntt" else seam}
     out.update({k: round(v, 6) if isinstance(v, float) else v
                 for k, v in r.items()})
-    if field.name == "GF16":
+    if field.name == "GF16" and args.pipeline in ("encode", "decode",
+                                                  "ntt"):
         # wire accounting: a GF16 lane is a 2-byte word (the in-HBM u32
-        # rate is exactly 2x) — report both, like bench.py
+        # rate is exactly 2x) — report both, like bench.py (the *-wire
+        # pipelines already count wire/recovered bytes)
         out["speed_of_light_wire_gbps"] = round(
             r["speed_of_light_gbps"] / 2, 6)
     print(json.dumps(out))
@@ -1056,11 +1067,14 @@ def main(argv=None):
                                         "pipeline config (op-count "
                                         "model, DESIGN.md §4)")
     p.add_argument("--pipeline", default="encode",
-                   choices=["encode", "decode", "ntt"])
+                   choices=["encode", "decode", "ntt", "encode-wire",
+                            "decode-wire"])
     p.add_argument("--lg-n", type=int, default=20,
                    help="log2 of total codeword blocks (encode/decode) "
                         "or transform points (ntt)")
     p.add_argument("--lanes", type=int, default=1024)
+    p.add_argument("--block-bytes", type=int, default=4096,
+                   help="wire block size for the *-wire pipelines")
     p.add_argument("--seam", default="on", choices=["on", "off"],
                    help="price the 3-pass seam-fused transform pair vs "
                         "the 4 staged passes (ignored for ntt)")

@@ -415,3 +415,20 @@ def test_design_s6_pins_code_constants():
         assert str(cap) in fn.__doc__, (
             f"{fn.__name__} docstring must state the location capacity")
     assert dec._BM_LADDER[-1] == dec._BM_MAX
+
+
+def test_roofline_wire_pipelines(capsys):
+    """The wire-domain rooflines (encode_blocks / decode_wire_parts
+    pricing) are reachable from the CLI like the field-domain ones."""
+    import json
+
+    assert main(["--field", "gf16", "roofline", "--pipeline",
+                 "encode-wire", "--lg-n", "14",
+                 "--block-bytes", "65536"]) == 0
+    r = json.loads(capsys.readouterr().out.strip())
+    assert r["fused"] is True and r["bound"] == "compute"
+    assert "speed_of_light_wire_gbps" not in r  # already wire bytes
+    assert main(["roofline", "--pipeline", "decode-wire",
+                 "--lg-n", "18"]) == 0
+    r = json.loads(capsys.readouterr().out.strip())
+    assert round(r["speed_of_light_gbps"], 1) == 20.9

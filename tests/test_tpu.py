@@ -182,6 +182,7 @@ import sys
 import tempfile
 
 from fastecc_tpu import storage
+from fastecc_tpu.fields import GF32
 
 tmp = pathlib.Path(tempfile.mkdtemp(prefix="fastecc_tpu_smoke_"))
 rng = np.random.default_rng(0x5709)
@@ -194,7 +195,7 @@ out = tmp / "coded"
 # encode -> partial write -> degrade -> ranged read -> recover, every
 # codec call dispatching to the REAL chip (this process's default
 # backend), byte-compared against the host-side truth at each step
-storage.encode_file(src, out)
+storage.encode_file(src, out, GF32)
 print("STORAGE-ENCODE: OK")
 
 edit = bytes(rng.integers(0, 256, 2000, dtype=np.uint16).astype(np.uint8))
@@ -204,8 +205,9 @@ assert storage.update_file(out, off, edit) >= 1
 print("STORAGE-UPDATE: OK")
 
 # degrade: drop a data block covering the read window and some parity
-(out / "block_00000.dat").unlink()
-(out / "block_00002.par").unlink()
+# (codeword positions interleave: even = data, odd = parity)
+(out / "block_000000.dat").unlink()
+(out / "block_000005.par").unlink()
 got = storage.read_file(out, 100, 5000)
 assert got == bytes(payload[100:5100]), "degraded ranged read mismatch"
 rd = storage.Reader(out)
