@@ -323,31 +323,36 @@ def run_decode_wire_metric(iters: int, field_name: str):
 
 
 def run_gf32_wire_metric(iters: int, lg_k: int = 17):
-    """Secondary: GF32 WIRE-domain encode GB/s (rs.encode_blocks: k data
-    blocks of 4096 bytes). GF32 has no fused wire pair (the escape
-    bitmap is extra codeword LANES — see ntt_mfa.py), so this measures
-    the honest product path: XLA pack pass + the fused field pair + XLA
-    serialize pass, all priced by encode_blocks_roofline(fused=False).
+    """Secondary: GF32 WIRE-domain encode GB/s (rs.encode_blocks_parts:
+    k data blocks of 4096 bytes, u32 byte-images end to end — the wire
+    bytes are the arrays' byte image, free on the host; same parts
+    convention as the other wire metrics. uint8 endpoints measured
+    ~40 ms of relayout at this shape — tools/onchip_r5_gf32wire.py).
+    GF32 has no fused wire pair (the escape bitmap is extra codeword
+    LANES — see ntt_mfa.py), so this measures the honest product path:
+    XLA pack pass (escape bitmap on the MXU) + the fused field pair,
+    priced by encode_blocks_roofline(fused=False).
 
     Default lg_k=17, NOT the 2^19 headline: the chained leg holds two
-    encodes' raw + packed + parity + wire arrays at once, 2^19 AND 2^18
-    OOMed fresh subprocesses on the 16 GB chip, and an axon OOM poisons
-    every later in-process dispatch (round-5 bench runs) — the
-    per-element rate is shape-independent at these sizes, so the
-    smaller config measures the same thing. The OOM fallback below
-    remains as a last resort."""
+    encodes' raw + packed + parity arrays at once, 2^19 AND 2^18 OOMed
+    fresh subprocesses on the 16 GB chip, and an axon OOM poisons every
+    later in-process dispatch (round-5 bench runs) — the per-element
+    rate is shape-independent at these sizes, so the smaller config
+    measures the same thing. The OOM fallback below remains as a last
+    resort."""
     from fastecc_tpu import rs
 
     while True:
         k, block_bytes = 1 << lg_k, 4096
+        wd = block_bytes // 4
         try:
-            bits = jax.random.bits(jax.random.key(4), (k, block_bytes),
-                                   dtype=jnp.uint8)
+            bits = jax.random.bits(jax.random.key(4), (k, wd),
+                                   dtype=jnp.uint32)
             raw = jax.block_until_ready(bits)
-            fn = jax.jit(lambda x: rs.encode_blocks(x, GF32, 2 * k))
+            fn = jax.jit(lambda x: rs.encode_blocks_parts(x, GF32, 2 * k))
             s1 = time_samples(fn, raw, iters=iters)
-            fn2 = jax.jit(lambda x: rs.encode_blocks(
-                rs.encode_blocks(x, GF32, 2 * k)[:, :block_bytes],
+            fn2 = jax.jit(lambda x: rs.encode_blocks_parts(
+                rs.encode_blocks_parts(x, GF32, 2 * k)[:, :wd],
                 GF32, 2 * k))
             s2 = time_samples(fn2, raw, iters=iters)
             break

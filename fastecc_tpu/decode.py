@@ -903,7 +903,11 @@ def decode_wire_parts(parity_pairs, n: int, k: int, field: FieldSpec):
     bmp = parity_pairs[:, wp:]
     bm = jnp.stack([bmp & jnp.uint32(0xFFFF), bmp >> jnp.uint32(16)],
                    axis=-1).reshape(m, -1)[:, : -(-wp // 8)]
-    bmx = jnp.repeat(bm, 8, axis=-1)[:, :wp]   # bm word q//8 at col q
+    # bm word q//8 at col q: explicit broadcast+reshape (jnp.repeat may
+    # lower to a gather, a slow relayout on TPU)
+    g = bm.shape[1]
+    bmx = jnp.broadcast_to(bm[:, :, None],
+                           (m, g, 8)).reshape(m, 8 * g)[:, :wp]
     sh = jnp.uint32(2) * (
         jax.lax.broadcasted_iota(jnp.uint32, (1, wp), 1) % jnp.uint32(8))
     esc16 = jnp.uint32(0x10000)

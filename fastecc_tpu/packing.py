@@ -103,13 +103,38 @@ def _u32_to_bytes(words, word_bytes: int):
 
 def _pack_bits(bits, group: int):
     """[..., L] 0/1 uint32 -> [..., ceil(L/group)] words (bit j of word m
-    is element m*group + j; trailing bits zero)."""
+    is element m*group + j; trailing bits zero).
+
+    On TPU the group-pack runs as an MXU matmul: bit t of the lane axis
+    times a selection matrix carrying 2^(t%group) at row t, column
+    t//group — the lane-group reduction is a relayout the VPU pays
+    dearly for (the shift-reduce form measured ~55 ms device time on
+    the GF32 wire-encode pack alone, tools/onchip_r5_gf32wire.py),
+    while the idle MXU does it in noise. EXACT even through bf16
+    matmul lowering: operands are 0/1 and powers of two (< 2^group <=
+    2^16), products and the disjoint-bit sums are exactly
+    representable — the same argument as the wire kernels' in-kernel
+    bitmap compaction, pinned on chip by the saturated-group test. The
+    VPU form remains the non-TPU path (on CPU the matmul would be
+    group-times more work)."""
     length = bits.shape[-1]
     pad = (-length) % group
     if pad:
         bits = jnp.concatenate(
             [bits, jnp.zeros(bits.shape[:-1] + (pad,), jnp.uint32)], axis=-1)
-    shape = bits.shape[:-1] + (bits.shape[-1] // group, group)
+    n_words = bits.shape[-1] // group
+    if jax.default_backend() == "tpu" and group <= 16:
+        lanes = bits.shape[-1]
+        t = jax.lax.broadcasted_iota(jnp.int32, (lanes, n_words), 0)
+        g = jax.lax.broadcasted_iota(jnp.int32, (lanes, n_words), 1)
+        w = (jnp.int32(1) << (t % group)).astype(jnp.float32)
+        sel = jnp.where(t // group == g, w, jnp.float32(0))
+        flat = bits.reshape(-1, lanes).astype(jnp.int32).astype(
+            jnp.float32)
+        out = jnp.dot(flat, sel, preferred_element_type=jnp.float32)
+        return out.astype(jnp.int32).astype(jnp.uint32).reshape(
+            bits.shape[:-1] + (n_words,))
+    shape = bits.shape[:-1] + (n_words, group)
     b = bits.reshape(shape)
     shifts = jnp.arange(group, dtype=jnp.uint32)
     return jnp.sum(b << shifts, axis=-1, dtype=jnp.uint32)
@@ -196,6 +221,24 @@ def deserialize_parity(raw, field: FieldSpec):
 # device side in u32 avoids TPU u8 vector math entirely — the serving
 # and bench paths use these (mirrors rs.encode_blocks_gf16_parts).
 # ---------------------------------------------------------------------------
+
+def pack_data_pairs(words, field: FieldSpec):
+    """[k, B/4] u32 LE byte-image of raw data blocks ->
+    [k, field_lanes] u32 field elements (parts twin of
+    :func:`pack_data`: the uint8 endpoint's bitcast is a TILED-LAYOUT
+    RELAYOUT on TPU — u8 arrays tile (32, 128), so regrouping 4 bytes
+    into a u32 shuffles lanes — measured ~20-30 ms per endpoint at the
+    2^17-block bench shape)."""
+    if field.use_mont:
+        esc = (words >= _U32(field.p)).astype(jnp.uint32)
+        stored = words - esc * _U32(field.p)
+        bitmap = _pack_bits(esc, 16)
+        return jnp.concatenate([stored, bitmap], axis=-1)
+    m = words.shape[0]
+    lo = words & _U32(0xFFFF)
+    hi = words >> _U32(16)
+    return jnp.stack([lo, hi], axis=-1).reshape(m, words.shape[-1] * 2)
+
 
 def deserialize_parity_pairs(pairs, field: FieldSpec):
     """[m, parity_bytes/4] u32 LE byte-image of wire parity ->

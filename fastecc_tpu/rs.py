@@ -434,6 +434,30 @@ def _encode_blocks_gf16_fused(raw_data, n: int, interpret: bool = False):
          packing._u32_to_bytes(bm, 2)], axis=-1)
 
 
+def encode_blocks_parts(raw_words, field: FieldSpec,
+                        n: int | None = None):
+    """GF32 wire-domain encode, parts form: [k, B/4] u32 LE byte-image
+    of the raw data blocks in (``np.ascontiguousarray(raw).view(
+    np.uint32)`` on the host — free), [n-k, parity_bytes/4] u32 LE
+    byte-image of the serialized parity out (GF32 wire parity IS its
+    field lanes). No uint8 arrays anywhere: the byte-endpoint bitcasts
+    are tiled-layout relayouts on TPU (packing.pack_data_pairs), which
+    cost ~40 ms of the round-5 bench marginal at the 2^17-block shape.
+    Bit-identical to encode_blocks' byte image (test-enforced). GF16's
+    parts form is :func:`encode_blocks_gf16_parts` (its stored/bitmap
+    parts are separate arrays)."""
+    assert field.use_mont, "GF16 parts go through encode_blocks_gf16_parts"
+    k = raw_words.shape[0]
+    n2 = 2 * k if n is None else n
+    fields = packing.pack_data_pairs(raw_words, field)
+    padded, lanes = _pad_lanes(fields)
+    return encode_parity(padded, field, n2)[:, :lanes]
+
+
+encode_blocks_parts_jit = jax.jit(encode_blocks_parts,
+                                  static_argnames=("field", "n"))
+
+
 def encode_blocks_gf16_parts(raw_pairs, n: int | None = None,
                              interpret: bool = False):
     """GF16 wire-domain encode, parts form — the serving/bench path.

@@ -208,11 +208,15 @@ def encode_blocks_roofline(n_blocks: int, block_bytes: int = 4096,
     escape-bitmap lanes): pack does NOT fuse — the bitmap lanes are a
     16-lane-group reduction of the input that lands at a different grid
     column than the words it summarizes (ntt_mfa.py wire-pair note) —
-    so only ``fused=False`` is honest: 24E (field) + pack (4Wd r +
-    4E w) + serialize (4E r + 4E w, the LE byte image). Compute is
-    priced identically to the field-domain pipeline (pack/serialize
-    shifts are undercounted on purpose: op-count ties break toward
-    fewer ops so the bound stays a true speed-of-light).
+    so only ``fused=False`` is honest, priced for the PARTS path
+    (rs.encode_blocks_parts, u32 byte-images end to end — the u8
+    endpoints' bitcasts are tiled-layout relayouts that cost ~40 ms at
+    the bench shape, tools/onchip_r5_gf32wire.py): pack (4Wd r + 4E w;
+    the escape bitmap packs on the MXU) + 24E (field pair); GF32 wire
+    parity IS its field lanes, so there is no serialize pass. The
+    lane-pad round-trip and pack compare/subtract are undercounted on
+    purpose: op-count ties break toward fewer ops so the bound stays a
+    true speed-of-light.
 
     GB/s convention: codeword wire bytes = n_blocks * block_bytes.
     """
@@ -228,7 +232,7 @@ def encode_blocks_roofline(n_blocks: int, block_bytes: int = 4096,
         assert not fused, "the GF32 wire pipeline has no fused variant"
         wd = block_bytes // 4
         lanes = wd + -(-wd // 16)
-        total_bytes = k * (32.0 * lanes + 4.0 * wd)
+        total_bytes = k * (28.0 * lanes + 4.0 * wd)
     base = pipeline_roofline(
         field_name, k, lanes, n_transforms=2, extra_mulmods_per_elem=3.0,
         hbm_passes=total_bytes / (2.0 * k * lanes * 4.0),

@@ -99,6 +99,12 @@ def test_encode_blocks_wire_format():
     fields = packing.pack_data(jnp.asarray(raw), GF32)
     want = np.asarray(rs.encode_parity_jit(fields, GF32))
     np.testing.assert_array_equal(pf, want)
+    # parts form (u32 byte-images end to end — the bench/serving path,
+    # free host reinterpretation on both sides)
+    words = jnp.asarray(np.ascontiguousarray(raw).view(np.uint32))
+    parts = np.asarray(rs.encode_blocks_parts_jit(words, GF32, 2 * k))
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(parts).view(np.uint8), parity)
 
 
 # ---------------------------------------------------------------------------
