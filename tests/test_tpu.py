@@ -139,6 +139,19 @@ np.testing.assert_array_equal(np.asarray(std), st_want)
 np.testing.assert_array_equal(np.asarray(bmd), bm_want)
 print("WIRE-B2-DENSE-ESCAPES: OK")
 
+# the MXU _pack_bits path (TPU-only branch — CPU CI runs the VPU form)
+# vs pure-numpy truth, incl. saturated 0xFFFF groups (the bf16-exactness
+# argument's worst case)
+bits = rng.integers(0, 2, (256, 1024)).astype(np.uint32)
+bits[0] = 1
+got_pb = np.asarray(jax.jit(
+    lambda b: packing._pack_bits(b, 16))(jnp.asarray(bits)))
+want_pb = (bits.reshape(256, 64, 16)
+           << np.arange(16, dtype=np.uint32)).sum(-1, dtype=np.uint32)
+np.testing.assert_array_equal(got_pb, want_pb)
+assert (want_pb == 0xFFFF).any()
+print("MXU-PACK-BITS: OK")
+
 # shard_map-wrapped local transform on a real-chip mesh
 from fastecc_tpu.parallel import make_mesh
 from fastecc_tpu.parallel.ntt_dist import ntt_sharded_jit
