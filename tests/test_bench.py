@@ -112,3 +112,27 @@ def test_pair_default_c_split_pins():
     assert _pair_default_c(1 << 17) == 1 << 8    # shallow c1 from here up
     assert _pair_default_c(1 << 19) == 1 << 9    # the measured winner
     assert _pair_default_c(1 << 20) == 1 << 9
+
+
+def test_is_oom_classifier():
+    """The OOM fallback must shrink shapes ONLY on resource exhaustion —
+    any other error propagates to the metric's loud error record
+    (round-4 weak #4: a catch-all here is how a metric vanished)."""
+    import bench
+
+    assert bench._is_oom(RuntimeError(
+        "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)."))
+    assert bench._is_oom(MemoryError("out of memory"))
+    assert not bench._is_oom(ValueError("shape mismatch"))
+    assert not bench._is_oom(RuntimeError("Mosaic lowering failed"))
+
+
+def test_metric_runner_registry_matches_json_keys():
+    """Every secondary metric the parent assembles has an --only runner
+    (the subprocess isolation depends on the names lining up)."""
+    import bench
+
+    assert set(bench._METRIC_RUNNERS) == {
+        "ntt", "decode", "gf16_encode", "gf16_wiredomain",
+        "gf32_wiredomain", "decode_wiredomain_gf16",
+        "decode_wiredomain_gf32"}
