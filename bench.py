@@ -282,10 +282,13 @@ def run_decode_wire_metric(iters: int, field_name: str):
     CSE). GB/s counts RECOVERED data bytes
     (utils/profiling.decode_blocks_roofline prices the pipeline).
 
-    GF16 uses 16 KB blocks: its transform order caps at 2^16, and at
+    GF16 uses 8 KB blocks: its transform order caps at 2^16, and at
     4 KB blocks the whole stripe is 134 MB — small enough that the
     tunnel's per-call jitter swamped the chained marginal (round-5 runs
-    swung 2.3-5.3 GB/s on the same code)."""
+    swung 2.3-5.3 GB/s on the same code); 16 KB measured cleanly but
+    OOMed a fresh chip on one of three runs (the chained leg holds two
+    decodes' transform intermediates), and an axon OOM is
+    unrecoverable in-process."""
     from fastecc_tpu import decode as dec
     from fastecc_tpu import packing, rs
     from fastecc_tpu.fields import FIELDS
@@ -294,7 +297,7 @@ def run_decode_wire_metric(iters: int, field_name: str):
     lg_n = 16 if field_name == "GF16" else 18
     while True:
         try:
-            n, bb = 1 << lg_n, 16384 if field_name == "GF16" else 4096
+            n, bb = 1 << lg_n, 8192 if field_name == "GF16" else 4096
             k = n // 2
             bits = jax.random.bits(jax.random.key(5), (k, bb),
                                    dtype=jnp.uint8)
@@ -657,7 +660,7 @@ def main():
             sol["gf32_wire"] = round(
                 100 * g32w_marg / b["speed_of_light_gbps"])
         if dw16_marg and dw16_n:
-            b = profiling.decode_blocks_roofline(dw16_n, 16384, "GF16")
+            b = profiling.decode_blocks_roofline(dw16_n, 8192, "GF16")
             sol["decode_wire_gf16"] = round(
                 100 * dw16_marg / b["speed_of_light_gbps"])
         if dw32_marg and dw32_n:
